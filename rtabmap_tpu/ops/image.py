@@ -1,0 +1,131 @@
+"""Batched 2D image ops (grayscale, gradients, pyramids, interpolation).
+
+Capability parity: the reference's ``util2d`` toolbox
+(/root/reference/corelib/include/rtabmap/core/util2d.h — decimation,
+depth/disparity conversion, bilinear sampling, smoothing) rebuilt as
+statically-shaped JAX ops that fuse into the feature/odometry kernels.
+
+Convention: images are float32 ``(..., H, W)`` in [0,1] unless noted.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def rgb_to_gray(img):
+    """(...,H,W,3) uint8/float -> (...,H,W) float32 in [0,1]."""
+    img = jnp.asarray(img)
+    if img.dtype == jnp.uint8:
+        img = img.astype(jnp.float32) / 255.0
+    return (
+        0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
+    ).astype(jnp.float32)
+
+
+def _sep_conv(img, kx, ky):
+    """Separable 2D convolution with 'same' zero padding on (...,H,W)."""
+    batch = img.shape[:-2]
+    H, W = img.shape[-2:]
+    x = img.reshape((-1, 1, H, W))
+    kx = jnp.asarray(kx, jnp.float32)[None, None, None, :]
+    ky = jnp.asarray(ky, jnp.float32)[None, None, :, None]
+    x = jax.lax.conv_general_dilated(x, kx, (1, 1), [(0, 0), (kx.shape[-1] // 2,) * 2])
+    x = jax.lax.conv_general_dilated(x, ky, (1, 1), [(ky.shape[-2] // 2,) * 2, (0, 0)])
+    return x.reshape((*batch, H, W))
+
+
+def gaussian_blur(img, sigma: float = 1.0, radius: int = 2):
+    xs = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    k = jnp.exp(-0.5 * (xs / sigma) ** 2)
+    k = k / jnp.sum(k)
+    return _sep_conv(img, k, k)
+
+
+def sobel(img):
+    """Returns (gx, gy) Scharr-free 3x3 Sobel gradients."""
+    gx = _sep_conv(img, jnp.array([-1.0, 0.0, 1.0]) * 0.5, jnp.array([0.25, 0.5, 0.25]))
+    gy = _sep_conv(img, jnp.array([0.25, 0.5, 0.25]), jnp.array([-1.0, 0.0, 1.0]) * 0.5)
+    return gx, gy
+
+
+def decimate(img, d: int):
+    """Stride-subsample by integer factor on the trailing H,W dims
+    (reference: util2d::decimate)."""
+    if d <= 1:
+        return img
+    return img[..., ::d, ::d]
+
+
+def downsample2(img):
+    """2x blur+decimate for pyramids."""
+    return decimate(gaussian_blur(img, sigma=1.0, radius=2), 2)
+
+
+def pyramid(img, levels: int):
+    out = [img]
+    for _ in range(levels - 1):
+        out.append(downsample2(out[-1]))
+    return out
+
+
+def bilinear_sample(img, uv, pad_value: float = 0.0):
+    """Sample (...,H,W) at continuous pixel coords uv (...,N,2) -> (...,N).
+
+    Out-of-bounds samples return pad_value.
+    """
+    H, W = img.shape[-2:]
+    u, v = uv[..., 0], uv[..., 1]
+    u0 = jnp.floor(u)
+    v0 = jnp.floor(v)
+    du = u - u0
+    dv = v - v0
+    u0i = u0.astype(jnp.int32)
+    v0i = v0.astype(jnp.int32)
+
+    def tap(vi, ui):
+        vc = jnp.clip(vi, 0, H - 1)
+        uc = jnp.clip(ui, 0, W - 1)
+        val = jnp.take_along_axis(
+            img.reshape((*img.shape[:-2], H * W)),
+            (vc * W + uc).reshape((*vc.shape[:-1], -1)),
+            axis=-1,
+        ).reshape(vc.shape)
+        ok = (vi >= 0) & (vi < H) & (ui >= 0) & (ui < W)
+        return jnp.where(ok, val, pad_value)
+
+    s = (
+        tap(v0i, u0i) * (1 - du) * (1 - dv)
+        + tap(v0i, u0i + 1) * du * (1 - dv)
+        + tap(v0i + 1, u0i) * (1 - du) * dv
+        + tap(v0i + 1, u0i + 1) * du * dv
+    )
+    return s
+
+
+def max_pool_same(img, size: int):
+    """Max filter with 'same' padding on (...,H,W) — used for NMS."""
+    batch = img.shape[:-2]
+    H, W = img.shape[-2:]
+    x = img.reshape((-1, H, W, 1))
+    p = size // 2
+    out = jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, size, size, 1), (1, 1, 1, 1),
+        [(0, 0), (p, p), (p, p), (0, 0)],
+    )
+    return out.reshape((*batch, H, W))
+
+
+def histogram_equalize(img, bins: int = 64):
+    """Approximate CLAHE-free global equalization on (...,H,W) in [0,1]."""
+    flat = img.reshape((*img.shape[:-2], -1))
+    edges = jnp.linspace(0.0, 1.0, bins + 1)
+    idx = jnp.clip((flat * bins).astype(jnp.int32), 0, bins - 1)
+    one = jnp.ones_like(flat)
+    hist = jax.vmap(lambda i, o: jnp.zeros((bins,)).at[i].add(o)) (
+        idx.reshape((-1, flat.shape[-1])), one.reshape((-1, flat.shape[-1]))
+    )
+    cdf = jnp.cumsum(hist, axis=-1)
+    cdf = cdf / jnp.maximum(cdf[..., -1:], 1.0)
+    eq = jnp.take_along_axis(cdf, idx.reshape((-1, flat.shape[-1])), axis=-1)
+    return eq.reshape(img.shape)

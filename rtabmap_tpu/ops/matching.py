@@ -1,0 +1,123 @@
+"""Descriptor matching as MXU matmuls: NN / NNDR / projection-guided search.
+
+Capability parity: the reference's descriptor-correspondence machinery —
+FLANN/brute-force NNDR matching in ``RegistrationVis``
+(/root/reference/corelib/src/RegistrationVis.cpp:735-783) and the
+``VWDictionary`` NN quantization (corelib/src/VWDictionary.cpp:913). The
+kd-tree is deliberately replaced with exact blocked matmul top-k: for ±1
+sign descriptors, ``hamming = (D - a @ b.T) / 2``, which maps straight onto
+the MXU and is exact (no FLANN approximation error).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from rtabmap_tpu.ops.features import DESC_DIM
+
+
+def similarity_matrix(a, b, precision=jnp.bfloat16):
+    """a (Ka,D) ±1 int8, b (Kb,D) ±1 int8 -> dot similarity (Ka,Kb) f32.
+
+    Invalid (zeroed) descriptors produce similarity 0 == hamming D/2.
+    """
+    am = a.astype(precision)
+    bm = b.astype(precision)
+    return jnp.dot(am, bm.T, preferred_element_type=jnp.float32)
+
+
+def hamming_matrix(a, b):
+    return (DESC_DIM - similarity_matrix(a, b)) * 0.5
+
+
+class Matches(NamedTuple):
+    """Fixed-size match set from a's perspective."""
+
+    idx: jnp.ndarray       # (Ka,) int32 index into b (best NN)
+    dist: jnp.ndarray      # (Ka,) float32 best distance
+    second: jnp.ndarray    # (Ka,) float32 second-best distance
+    valid: jnp.ndarray     # (Ka,) bool passes NNDR + validity
+
+
+def match_nndr(desc_a, valid_a, desc_b, valid_b, nndr: float = 0.8,
+               max_dist: Optional[float] = None,
+               guess_uv: Optional[jnp.ndarray] = None,
+               uv_b: Optional[jnp.ndarray] = None,
+               window: float = 0.0) -> Matches:
+    """Nearest-neighbour + Lowe ratio matching a -> b.
+
+    When ``guess_uv``/``uv_b``/``window`` are given, candidates outside the
+    projection window are excluded (reference's guess-projected window
+    search, RegistrationVis.cpp:590-660), fused into the same masked top-2.
+    """
+    d = hamming_matrix(desc_a, desc_b)  # (Ka,Kb)
+    inf = jnp.float32(1e9)
+    mask = valid_b[None, :]
+    if window > 0.0 and guess_uv is not None and uv_b is not None:
+        du = guess_uv[:, None, 0] - uv_b[None, :, 0]
+        dv = guess_uv[:, None, 1] - uv_b[None, :, 1]
+        mask = mask & ((du * du + dv * dv) <= window * window)
+    d = jnp.where(mask, d, inf)
+    # top-2 smallest == top-2 of negated
+    neg2, idx2 = jax.lax.top_k(-d, 2)
+    best = -neg2[:, 0]
+    second = -neg2[:, 1]
+    idx = idx2[:, 0].astype(jnp.int32)
+    ok = valid_a & (best < inf * 0.5) & (best <= nndr * second)
+    if max_dist is not None:
+        ok = ok & (best <= max_dist)
+    return Matches(idx=idx, dist=best, second=second, valid=ok)
+
+
+def cross_check(m_ab: Matches, m_ba: Matches) -> jnp.ndarray:
+    """Mutual-consistency mask for a->b matches."""
+    back = m_ba.idx[m_ab.idx]
+    ids = jnp.arange(m_ab.idx.shape[0], dtype=jnp.int32)
+    return m_ab.valid & m_ba.valid[m_ab.idx] & (back == ids)
+
+
+def match_mutual_nndr(desc_a, valid_a, desc_b, valid_b, nndr: float = 0.8) -> Matches:
+    m_ab = match_nndr(desc_a, valid_a, desc_b, valid_b, nndr)
+    m_ba = match_nndr(desc_b, valid_b, desc_a, valid_a, nndr)
+    return m_ab._replace(valid=cross_check(m_ab, m_ba))
+
+
+def knn_blocked(query, base, k: int, block: int = 8192,
+                base_valid: Optional[jnp.ndarray] = None):
+    """Exact k-NN of ±1 query (Q,D) against a large ±1 base (N,D), scanning
+    the base in blocks to bound VMEM/HBM working set — this is the
+    vocabulary-search primitive (replaces rtflann kd-tree).
+
+    Returns (dists (Q,k) ascending, indices (Q,k)).
+    """
+    Q = query.shape[0]
+    N = base.shape[0]
+    nblocks = (N + block - 1) // block
+    pad = nblocks * block - N
+    basep = jnp.pad(base, ((0, pad), (0, 0)))
+    validp = jnp.pad(
+        base_valid if base_valid is not None else jnp.ones((N,), bool), (0, pad)
+    )
+    qm = query.astype(jnp.bfloat16)
+    inf = jnp.float32(1e9)
+
+    def body(carry, blk_idx):
+        best_d, best_i = carry
+        blk = jax.lax.dynamic_slice_in_dim(basep, blk_idx * block, block, axis=0)
+        bv = jax.lax.dynamic_slice_in_dim(validp, blk_idx * block, block, axis=0)
+        sim = jnp.dot(qm, blk.astype(jnp.bfloat16).T, preferred_element_type=jnp.float32)
+        dist = jnp.where(bv[None, :], (DESC_DIM - sim) * 0.5, inf)
+        nd, ni = jax.lax.top_k(-dist, k)
+        cand_d = jnp.concatenate([best_d, -nd], axis=1)
+        cand_i = jnp.concatenate([best_i, ni + blk_idx * block], axis=1)
+        nd2, sel = jax.lax.top_k(-cand_d, k)
+        return (
+            -nd2,
+            jnp.take_along_axis(cand_i, sel, axis=1),
+        ), None
+
+    init = (jnp.full((Q, k), inf), jnp.zeros((Q, k), jnp.int32))
+    (d, i), _ = jax.lax.scan(body, init, jnp.arange(nblocks))
+    return d, i.astype(jnp.int32)

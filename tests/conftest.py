@@ -1,0 +1,17 @@
+"""Test config: run all tests on a virtual 8-device CPU mesh.
+
+Multi-chip hardware is not available in CI; sharding tests exercise
+`jax.sharding.Mesh` semantics on host-platform virtual devices.
+"""
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# The axon TPU plugin ignores the JAX_PLATFORMS env var; the config route
+# does force the host platform (tests must not depend on the tunneled chip).
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", False)
