@@ -1,0 +1,160 @@
+"""Synthetic RGB-D world: procedurally-textured box room + analytic renderer.
+
+Role: the test/benchmark fixture generator. The reference validates with
+recorded datasets (TUM/KITTI/EuRoC + data/samples, see SURVEY.md §4); in
+this sandbox no recorded data exists, so sequences with exact ground-truth
+poses and depth are rendered analytically. Ray-casting a box room against
+5 planes is fully vectorized (one jit per frame) and the multi-octave value
+noise texture gives dense trackable corners.
+
+Camera convention: optical frame (x right, y down, z forward), pose =
+camera-in-world (3,4).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rtabmap_tpu.geometry import camera as C
+from rtabmap_tpu.geometry import transform as T
+
+
+class World(NamedTuple):
+    half_extent: jnp.ndarray  # (3,) box half-sizes (room walls at +-h)
+    seed: int = 0
+
+
+DEFAULT_WORLD = World(half_extent=jnp.array([4.0, 3.0, 4.0]), seed=0)
+
+
+# ----------------------------------------------------------------- value noise
+
+
+def _hash2(ix, iy, seed):
+    u = lambda v: jnp.uint32(v)
+    h = ix.astype(jnp.uint32) * u(374761393) + iy.astype(jnp.uint32) * u(668265263) + u(seed % (2**31)) * u(144665)
+    h = (h ^ (h >> u(13))) * u(1274126177)
+    return ((h ^ (h >> u(16))) & u(0xFFFF)).astype(jnp.float32) / 65535.0
+
+
+def value_noise(x, y, seed: int, octaves: int = 4, base_freq: float = 2.0):
+    """Multi-octave bilinear value noise over continuous coords (any shape)."""
+    out = jnp.zeros_like(x)
+    amp = 1.0
+    total = 0.0
+    for o in range(octaves):
+        f = base_freq * (2.0 ** o)
+        xs, ys = x * f, y * f
+        ix, iy = jnp.floor(xs), jnp.floor(ys)
+        fx, fy = xs - ix, ys - iy
+        fx = fx * fx * (3 - 2 * fx)
+        fy = fy * fy * (3 - 2 * fy)
+        ixi, iyi = ix.astype(jnp.int32), iy.astype(jnp.int32)
+        s = seed * 7919 + o * 104729
+        v00 = _hash2(ixi, iyi, s)
+        v10 = _hash2(ixi + 1, iyi, s)
+        v01 = _hash2(ixi, iyi + 1, s)
+        v11 = _hash2(ixi + 1, iyi + 1, s)
+        v = (v00 * (1 - fx) + v10 * fx) * (1 - fy) + (v01 * (1 - fx) + v11 * fx) * fy
+        out = out + amp * v
+        total += amp
+        amp *= 0.55
+    return out / total
+
+
+# ------------------------------------------------------------------- renderer
+
+
+def render(pose_wc, cam: C.CameraModel, world: World = DEFAULT_WORLD):
+    """Render (gray, depth) for a camera pose (3,4 camera-in-world).
+
+    Gray in [0,1] (H,W); depth in meters (H,W), 0 where no hit.
+    """
+    H, W = cam.height, cam.width
+    vv, uu = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32), jnp.arange(W, dtype=jnp.float32), indexing="ij")
+    dirs_cam = jnp.stack(
+        [(uu - cam.cx) / cam.fx, (vv - cam.cy) / cam.fy, jnp.ones_like(uu)], axis=-1
+    )  # (H,W,3) unnormalized: z-depth = t for ray p = o + t*dir
+    Rwc = T.rotation(pose_wc)
+    origin = T.translation(pose_wc)
+    dirs = jnp.einsum("ij,hwj->hwi", Rwc, dirs_cam)
+
+    he = world.half_extent
+    best_t = jnp.full((H, W), jnp.inf)
+    best_col = jnp.zeros((H, W))
+    # 6 box planes: axis a at +-he[a]; texture on the two in-plane coords
+    for axis in range(3):
+        for sgn in (-1.0, 1.0):
+            denom = dirs[..., axis]
+            denom = jnp.where(jnp.abs(denom) < 1e-9, 1e-9, denom)
+            t = (sgn * he[axis] - origin[axis]) / denom
+            hit = origin[None, None, :] + t[..., None] * dirs
+            a1, a2 = [i for i in range(3) if i != axis]
+            inside = (
+                (t > 0.05)
+                & (jnp.abs(hit[..., a1]) <= he[a1] + 1e-4)
+                & (jnp.abs(hit[..., a2]) <= he[a2] + 1e-4)
+            )
+            tex = value_noise(
+                hit[..., a1] * 0.5, hit[..., a2] * 0.5,
+                seed=world.seed * 31 + axis * 2 + (1 if sgn > 0 else 0),
+            )
+            closer = inside & (t < best_t)
+            best_t = jnp.where(closer, t, best_t)
+            best_col = jnp.where(closer, tex, best_col)
+
+    depth = jnp.where(jnp.isfinite(best_t), best_t, 0.0)
+    return best_col, depth
+
+
+# ----------------------------------------------------------------- trajectories
+
+
+def loop_trajectory(n: int, radius: float = 1.5, height: float = 0.0,
+                    world: World = DEFAULT_WORLD):
+    """Closed loop inside the room: camera orbits the center looking outward.
+
+    Returns (n,3,4) camera-in-world poses; frame 0 and frame n-1 coincide in
+    viewpoint -> guaranteed loop-closure opportunity.
+    """
+    poses = []
+    for i in range(n):
+        a = 2.0 * np.pi * i / n
+        pos = np.array([radius * np.cos(a), height, radius * np.sin(a)], np.float32)
+        # look outward from center
+        fwd = pos / np.linalg.norm(pos)
+        up = np.array([0.0, -1.0, 0.0], np.float32)  # y-down optical
+        right = np.cross(up, fwd)
+        right /= np.linalg.norm(right)
+        upv = np.cross(fwd, right)
+        Rcw = np.stack([right, upv, fwd], axis=1)  # columns: camera axes in world
+        poses.append(np.concatenate([Rcw, pos[:, None]], axis=1))
+    return jnp.asarray(np.stack(poses))
+
+
+def corridor_trajectory(n: int, length: float = 5.0, world: World = DEFAULT_WORLD):
+    """Straight dolly move toward a wall (no loop)."""
+    poses = []
+    for i in range(n):
+        z = -length / 2 + length * i / max(n - 1, 1)
+        R = np.eye(3, dtype=np.float32)
+        poses.append(np.concatenate([R, np.array([[0.0], [0.0], [z]], np.float32)], axis=1))
+    return jnp.asarray(np.stack(poses))
+
+
+def render_sequence(poses, cam: C.CameraModel, world: World = DEFAULT_WORLD,
+                    depth_noise: float = 0.0, key=None):
+    """Host helper: render a full sequence -> (grays (N,H,W), depths (N,H,W))."""
+    rfn = jax.jit(lambda p: render(p, cam, world))
+    grays, depths = [], []
+    for i in range(poses.shape[0]):
+        g, d = rfn(poses[i])
+        if depth_noise > 0.0 and key is not None:
+            key, sub = jax.random.split(key)
+            d = jnp.where(d > 0, d + depth_noise * d * jax.random.normal(sub, d.shape), 0.0)
+        grays.append(g)
+        depths.append(d)
+    return jnp.stack(grays), jnp.stack(depths)
