@@ -1,0 +1,218 @@
+"""Frame-to-Map (F2M) visual odometry — the default odometry strategy.
+
+Capability parity: the reference's ``OdometryF2M``
+(/root/reference/corelib/src/odometry/OdometryF2M.cpp:203
+``computeTransform`` — registration of the new frame against a local map of
+up to ``OdomF2M/MaxSize=2000`` feature points, keyframe policy on the
+inlier ratio ``Odom/KeyFrameThr``, map insert/cull at OdometryF2M.cpp:874)
+and the base ``Odometry::process`` motion model (Odometry.cpp:311 —
+constant-velocity guess, velocity update, failure covariance convention).
+
+TPU-first: the whole tick — guided matching against the map slab, batched
+PnP-RANSAC, pose/velocity update, keyframe decision and map point
+insert/cull — is ONE jitted function over fixed-capacity arrays. The
+keyframe branch is computed with masked selects instead of host branching,
+so the device step has no data-dependent control flow. Local BA over recent
+keyframes refines the map asynchronously (optim/ba.py).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from rtabmap_tpu.core.frame import FrameFeatures
+from rtabmap_tpu.geometry import camera as C
+from rtabmap_tpu.geometry import transform as T
+from rtabmap_tpu.ops import matching as M
+from rtabmap_tpu.ops import ransac as R
+from rtabmap_tpu.ops.features import DESC_DIM
+
+
+class F2MState(NamedTuple):
+    map_pts: jnp.ndarray    # (M,3) world-frame map points
+    map_desc: jnp.ndarray   # (M,D) ±1 int8
+    map_valid: jnp.ndarray  # (M,)
+    map_seen: jnp.ndarray   # (M,) float32 last-seen keyframe index (cull prio)
+    pose: jnp.ndarray       # (3,4) current camera pose (world)
+    vel: jnp.ndarray        # (6,) twist per frame (constant-velocity model)
+    kf_count: jnp.ndarray   # () float32 keyframe counter
+    initialized: jnp.ndarray  # () bool
+
+
+class OdomResult(NamedTuple):
+    pose: jnp.ndarray        # (3,4) new pose (valid only if success)
+    success: jnp.ndarray     # () bool
+    num_matches: jnp.ndarray # () int32
+    num_inliers: jnp.ndarray # () int32
+    covariance: jnp.ndarray  # (6,6)
+    keyframe_added: jnp.ndarray  # () bool
+
+
+def init_state(map_capacity: int = 2000, desc_dim: int = DESC_DIM) -> F2MState:
+    return F2MState(
+        map_pts=jnp.zeros((map_capacity, 3), jnp.float32),
+        map_desc=jnp.zeros((map_capacity, desc_dim), jnp.int8),
+        map_valid=jnp.zeros((map_capacity,), bool),
+        map_seen=jnp.full((map_capacity,), -1.0, jnp.float32),
+        pose=T.identity(),
+        vel=jnp.zeros((6,), jnp.float32),
+        kf_count=jnp.zeros((), jnp.float32),
+        initialized=jnp.zeros((), bool),
+    )
+
+
+def _insert_keyframe(state: F2MState, frame: FrameFeatures, new_pose,
+                     matched_map_idx, matched_ok):
+    """Masked map update: refresh seen-stamps of matched points, then merge
+    unmatched new 3D points, keeping the most recently seen (cull
+    oldest-first like OdometryF2M.cpp:874)."""
+    kf = state.kf_count + 1.0
+    seen = state.map_seen
+    # refresh matched map points
+    seen = seen.at[matched_map_idx].max(jnp.where(matched_ok, kf, -1.0))
+
+    # candidate new points: valid 3D keypoints that were NOT matched
+    new_mask = frame.valid & frame.valid3d & (~matched_ok)
+    world_pts = T.apply(new_pose[None], frame.pts3d[None])[0]
+    cand_seen = jnp.where(new_mask, kf, -jnp.inf)
+
+    all_pts = jnp.concatenate([state.map_pts, world_pts], axis=0)
+    all_desc = jnp.concatenate([state.map_desc, frame.desc], axis=0)
+    all_valid = jnp.concatenate([state.map_valid, new_mask], axis=0)
+    all_seen = jnp.concatenate([jnp.where(state.map_valid, seen, -jnp.inf), cand_seen], axis=0)
+
+    Mcap = state.map_pts.shape[0]
+    # keep top-M by (seen, small index-noise for stable ties)
+    prio = all_seen - jnp.arange(all_seen.shape[0], dtype=jnp.float32) * 1e-6
+    _, keep = jax.lax.top_k(prio, Mcap)
+    return state._replace(
+        map_pts=all_pts[keep],
+        map_desc=all_desc[keep],
+        map_valid=all_valid[keep],
+        map_seen=jnp.where(all_valid[keep], all_seen[keep], -1.0),
+        kf_count=kf,
+    )
+
+
+def odom_step(state: F2MState, frame: FrameFeatures, cam: C.CameraModel, key,
+              nndr: float = 0.8, reproj_px: float = 4.0,
+              min_inliers: int = 20, keyframe_thr: float = 0.3,
+              ransac_iters: int = 192, search_window: float = 0.0,
+              vel_smooth: float = 0.7) -> Tuple[F2MState, OdomResult]:
+    """One odometry tick. Fully jittable (static shapes, masked branches)."""
+    guess = T.compose(state.pose, T.se3_exp(state.vel))
+
+    # ---- bootstrap: empty map -> insert frame as first keyframe
+    def bootstrap(state):
+        zero_idx = jnp.zeros((frame.capacity,), jnp.int32)
+        no_match = jnp.zeros((frame.capacity,), bool)
+        st = _insert_keyframe(state, frame, state.pose, zero_idx, no_match)
+        st = st._replace(initialized=jnp.ones((), bool))
+        res = OdomResult(
+            pose=state.pose, success=jnp.ones((), bool),
+            num_matches=jnp.zeros((), jnp.int32),
+            num_inliers=jnp.zeros((), jnp.int32),
+            covariance=jnp.eye(6) * 1e-6,
+            keyframe_added=jnp.ones((), bool),
+        )
+        return st, res
+
+    # ---- normal tick
+    def tick(state):
+        guess_uv = None
+        if search_window > 0.0:
+            pts_c = T.apply(T.inverse(guess)[None], state.map_pts[None])[0]
+            uv_pred, z_pred = C.project(pts_c, cam)
+            vis = (z_pred > 0.05) & C.in_image(uv_pred, cam.width, cam.height, -search_window)
+        m = M.match_nndr(frame.desc, frame.valid, state.map_desc,
+                         state.map_valid if search_window <= 0.0 else state.map_valid & vis,
+                         nndr=nndr)
+        if search_window > 0.0:
+            du = uv_pred[m.idx] - frame.uv
+            m = m._replace(valid=m.valid & (jnp.sum(du * du, -1) <= search_window ** 2))
+        n_matches = jnp.sum(m.valid)
+
+        res = R.ransac_pnp(
+            state.map_pts[m.idx], frame.uv, m.valid, cam, key,
+            iters=ransac_iters, reproj_px=reproj_px, min_inliers=min_inliers,
+            guess=guess,
+            pts3d_query=jnp.where(frame.valid3d[:, None], frame.pts3d, 0.0),
+        )
+        ok = res.success
+        new_pose = jnp.where(ok, res.transform, state.pose)
+        motion = T.se3_log(T.relative(state.pose, new_pose))
+        new_vel = jnp.where(ok, vel_smooth * motion + (1 - vel_smooth) * state.vel,
+                            jnp.zeros((6,)))
+
+        # keyframe policy: inlier count below ratio of valid features
+        n_feat = jnp.sum(frame.valid)
+        kf_needed = ok & (res.num_inliers < keyframe_thr * jnp.maximum(n_feat, 1))
+
+        matched_ok = m.valid & res.inliers
+        st_kf = _insert_keyframe(state, frame, new_pose, m.idx, matched_ok)
+        st = jax.tree_util.tree_map(lambda a, b: jnp.where(kf_needed, a, b), st_kf, state)
+        st = st._replace(pose=new_pose, vel=new_vel)
+        out = OdomResult(
+            pose=new_pose, success=ok,
+            num_matches=n_matches.astype(jnp.int32),
+            num_inliers=res.num_inliers,
+            covariance=res.covariance,
+            keyframe_added=kf_needed,
+        )
+        return st, out
+
+    return jax.lax.cond(state.initialized, tick, bootstrap, state)
+
+
+class OdometryF2M:
+    """Host-side wrapper with the reference's process() semantics: returns
+    None transform + covariance 9999 on tracking loss (Odometry.cpp
+    failure convention), and supports reset()."""
+
+    def __init__(self, cam: C.CameraModel, params=None, map_capacity: int = 2000,
+                 max_features: int = 512, seed: int = 0):
+        from rtabmap_tpu.utils.params import Parameters
+
+        p = params or Parameters()
+        self.cam = cam
+        self.max_features = int(p["Vis/MaxFeatures"] or max_features)
+        self.state = init_state(int(p["OdomF2M/MaxSize"]) or map_capacity)
+        self.keyframe_thr = float(p["Odom/KeyFrameThr"])
+        self.min_inliers = int(p["Vis/MinInliers"])
+        self.nndr = float(p["Vis/CorNNDR"])
+        self.reproj_px = float(p["Vis/PnPReprojError"])
+        self._key = jax.random.PRNGKey(seed)
+        self._step = jax.jit(
+            lambda st, fr, key: odom_step(
+                st, fr, self.cam, key,
+                nndr=self.nndr, reproj_px=self.reproj_px,
+                min_inliers=self.min_inliers, keyframe_thr=self.keyframe_thr,
+            )
+        )
+        self.lost = False
+
+    def process(self, frame: FrameFeatures):
+        self._key, sub = jax.random.split(self._key)
+        self.state, res = self._step(self.state, frame, sub)
+        ok = bool(res.success)
+        self.lost = not ok
+        info = {
+            "matches": int(res.num_matches),
+            "inliers": int(res.num_inliers),
+            "keyframe": bool(res.keyframe_added),
+        }
+        if not ok:
+            return None, jnp.eye(6) * 9999.0, info
+        return res.pose, res.covariance, info
+
+    def reset(self, pose=None):
+        cap = self.state.map_pts.shape[0]
+        self.state = init_state(cap)
+        if pose is not None:
+            self.state = self.state._replace(pose=jnp.asarray(pose))
+
+    @property
+    def pose(self):
+        return self.state.pose
