@@ -1,0 +1,107 @@
+"""Pose-graph optimizer: odometry chain + loop closure must correct drift."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rtabmap_tpu.geometry import transform as T
+from rtabmap_tpu.optim import pose_graph as PG
+
+
+def make_noisy_loop(n=30, drift=0.03, key=jax.random.PRNGKey(0)):
+    """Ground truth: circle. Odometry: GT relative motions + noise (drift).
+    One loop-closure edge last->first with the TRUE relative motion."""
+    import numpy as onp
+
+    gt = []
+    for i in range(n):
+        a = 2 * onp.pi * i / n
+        gt.append(
+            onp.asarray(
+                T.from_xyzrpy(
+                    jnp.array([onp.cos(a), onp.sin(a), 0.0, 0.0, 0.0, a + onp.pi / 2])
+                )
+            )
+        )
+    gt = jnp.asarray(onp.stack(gt))
+
+    keys = jax.random.split(key, n)
+    odom_meas = []
+    for i in range(n - 1):
+        rel = T.relative(gt[i], gt[i + 1])
+        noise = T.se3_exp(drift * jax.random.normal(keys[i], (6,)) * jnp.array([1, 1, 1, 0.3, 0.3, 0.3]))
+        odom_meas.append(T.compose(rel, noise))
+    # integrate noisy odometry for the initial guess
+    poses = [gt[0]]
+    for m in odom_meas:
+        poses.append(T.compose(poses[-1], m))
+    poses = jnp.stack(poses)
+
+    ef = list(range(n - 1)) + [n - 1]
+    et = list(range(1, n)) + [0]
+    meas = odom_meas + [T.relative(gt[n - 1], gt[0])]
+    # information = 1/sigma^2 of the actual measurement noise (reference
+    # convention: links carry their registration covariance)
+    info = [jnp.eye(6) / drift ** 2] * (n - 1) + [jnp.eye(6) / 0.01 ** 2]
+    g = PG.make_graph(
+        poses, jnp.array(ef), jnp.array(et), jnp.stack(meas), jnp.stack(info)
+    )
+    return g, gt
+
+
+def _ate(poses, gt):
+    return float(jnp.sqrt(jnp.mean(jnp.sum((T.translation(poses) - T.translation(gt)) ** 2, -1))))
+
+
+def test_dense_corrects_loop():
+    g, gt = make_noisy_loop()
+    before = _ate(g.poses, gt)
+    out, chi2 = PG.optimize_dense(g, iters=15)
+    after = _ate(out.poses, gt)
+    assert after < before * 0.65, (before, after)
+    assert after < 0.09, after
+    assert float(chi2) < float(PG.graph_chi2(g))
+
+
+def test_pcg_matches_dense():
+    g, gt = make_noisy_loop()
+    out_d, _ = PG.optimize_dense(g, iters=15)
+    out_p, _ = PG.optimize_pcg(g, iters=15, cg_iters=80)
+    d = _ate(out_d.poses, gt)
+    p = _ate(out_p.poses, gt)
+    assert abs(d - p) < 0.03, (d, p)
+
+
+def test_max_error_gate_flags_bad_closure():
+    """The reference accepts a new closure only if post-optimization link
+    errors stay under RGBD/OptimizeMaxError sigma (Rtabmap.cpp:5385 gate).
+    Reproduce: a wrong closure must blow up the per-link error ratio."""
+    g, gt = make_noisy_loop()
+    out_good, _ = PG.optimize_dense(g, iters=15)
+    _, _, sig_good = PG.edge_errors(out_good)
+
+    bad_meas = T.from_xyzrpy(jnp.array([2.0, 2.0, 1.0, 0.5, 0.5, 0.5]))
+    g2 = g._replace(
+        edges_from=jnp.concatenate([g.edges_from, jnp.array([5], jnp.int32)]),
+        edges_to=jnp.concatenate([g.edges_to, jnp.array([20], jnp.int32)]),
+        edges_meas=jnp.concatenate([g.edges_meas, bad_meas[None]]),
+        edges_info=jnp.concatenate([g.edges_info, (jnp.eye(6) / 0.01 ** 2)[None]]),
+        edge_valid=jnp.concatenate([g.edge_valid, jnp.array([True])]),
+    )
+    out_bad, _ = PG.optimize_dense(g2, iters=15)
+    _, _, sig_bad = PG.edge_errors(out_bad)
+    # gate: good graph passes a 3-sigma-scale threshold, bad one fails hard
+    assert float(jnp.max(sig_good)) < 10.0
+    assert float(jnp.max(sig_bad)) > 5.0 * float(jnp.max(sig_good))
+
+    # robust (Huber) optimization must ALSO keep the trajectory closer to GT
+    out_robust, _ = PG.optimize_dense(g2, iters=15, robust=True, huber_delta=3.0)
+    assert _ate(out_robust.poses, gt) <= _ate(out_bad.poses, gt) + 1e-6
+
+
+def test_edge_validity_mask():
+    g, gt = make_noisy_loop()
+    # invalidate the loop closure -> optimization should NOT correct drift
+    g2 = g._replace(edge_valid=g.edge_valid.at[-1].set(False))
+    out, _ = PG.optimize_dense(g2, iters=10)
+    # without the closure the chain stays near its noisy init
+    assert _ate(out.poses, gt) > 0.5 * _ate(g.poses, gt)
