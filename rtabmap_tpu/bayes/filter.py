@@ -1,0 +1,153 @@
+"""Discrete Bayesian place-recognition filter over the working memory.
+
+Capability parity: the reference's ``BayesFilter``
+(/root/reference/corelib/src/BayesFilter.cpp — recursive posterior
+``computePosterior`` :145, graph-neighborhood Gaussian prediction
+``generatePrediction`` :273 with per-source normalization :normalize, and
+the virtual-place prior). The ``Bayes/PredictionLC`` 18-value kernel and
+``Bayes/VirtualPlacePriorThr`` defaults are honored.
+
+TPU redesign: instead of materializing the (m,m) column-stochastic
+prediction matrix, the prediction step is computed as a masked
+scatter-add over a fixed-capacity neighbor table (node -> graph neighbors
+with margins, built host-side by BFS over links): column j of the matrix
+is exactly "spread posterior[j] over its neighbors with kernel weights,
+leftover mass to self, scaled to (1-vp)". Posterior slots align with the
+engine's node slab; index N (last) is the virtual place.
+
+Deviation from the reference (documented): the tiny uniform mass the
+reference spreads over zero entries when sum(kernel) < 1 (~3e-4 total for
+the default kernel) is folded into the self term; effect on the posterior
+is below float32 noise.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+DEFAULT_PREDICTION_LC = np.array(
+    [0.1, 0.36, 0.30, 0.16, 0.062, 0.0151, 0.00255, 0.000324, 2.5e-05,
+     1.3e-06, 4.8e-08, 1.2e-09, 1.9e-11, 2.2e-13, 1.7e-15, 8.5e-18,
+     2.9e-20, 6.9e-23],
+    np.float32,
+)  # [virtual place, margin 0 (loop), margin 1, ..., margin 16]
+
+
+class BayesState(NamedTuple):
+    posterior: jnp.ndarray  # (N+1,) — slot N = virtual place
+
+
+def init_state(capacity: int) -> BayesState:
+    p = jnp.zeros((capacity + 1,)).at[capacity].set(1.0)
+    return BayesState(posterior=p)
+
+
+@jax.jit
+def _predict_and_update(posterior, likelihood, virtual_score, nbr_idx, nbr_margin,
+                        node_valid, kernel, vp_prior):
+    """One Bayes recursion. Shapes: posterior (N+1,), likelihood (N,),
+    nbr_idx/nbr_margin (N,Kn) int32 (idx -1 = invalid), kernel (18,).
+
+    ``kernel[0]`` is the virtual-place mass of each real column
+    (_predictionLC[0]); ``vp_prior`` is the virtual column's self prior
+    (Bayes/VirtualPlacePriorThr) — distinct values in the reference.
+    """
+    N = likelihood.shape[0]
+    vp = kernel[0]
+    total_lc = jnp.sum(kernel)
+
+    # --- prediction: prior = P @ posterior, P column-stochastic per source
+    w = jnp.where(nbr_idx >= 0, kernel[jnp.clip(nbr_margin + 1, 0, kernel.shape[0] - 1)], 0.0)
+    sum_w = jnp.sum(w, axis=-1)                    # (N,)
+    # unassigned neighbor mass goes to the source itself (reference
+    # normalize(): delta added to diagonal)
+    self_extra = jnp.maximum((total_lc - vp) - sum_w, 0.0)
+    col_sum = sum_w + self_extra                   # pre-normalization mass
+    scale = jnp.where(col_sum > 0, (1.0 - vp) / col_sum, 0.0)
+
+    post_real = posterior[:N] * node_valid         # (N,)
+    contrib = post_real[:, None] * w * scale[:, None]
+    tgt = jnp.where(nbr_idx >= 0, nbr_idx, N)
+    prior = jnp.zeros((N + 1,)).at[tgt.reshape(-1)].add(contrib.reshape(-1), mode="drop")
+    # self term
+    prior = prior.at[jnp.arange(N)].add(post_real * self_extra * scale)
+    # virtual-place column: P[virtual,virtual]=vp_prior, rest uniform
+    post_v = posterior[N]
+    n_valid = jnp.maximum(jnp.sum(node_valid), 1)
+    prior = prior + post_v * (1.0 - vp_prior) / n_valid * jnp.concatenate(
+        [node_valid.astype(jnp.float32), jnp.zeros((1,))]
+    )
+    # every real column contributes kernel[0] to the virtual place
+    prior = prior.at[N].add(vp * jnp.sum(post_real) + vp_prior * post_v)
+
+    # --- update: elementwise likelihood product + normalize
+    lik_full = jnp.concatenate([jnp.where(node_valid, likelihood, 0.0),
+                                virtual_score[None]])
+    post = prior * lik_full
+    s = jnp.sum(post)
+    post = jnp.where(s > 0, post / s, jnp.zeros((N + 1,)).at[N].set(1.0))
+    return post
+
+
+class BayesFilter:
+    """Host wrapper holding the kernel + posterior; neighbor tables are
+    provided by the caller (the engine's graph bookkeeping)."""
+
+    def __init__(self, capacity: int, prediction_lc=None, virtual_place_prior: float = 0.9):
+        kernel = np.array(prediction_lc if prediction_lc is not None else DEFAULT_PREDICTION_LC, np.float32)
+        self.kernel = jnp.asarray(kernel)
+        self.vp_prior = jnp.float32(virtual_place_prior)
+        self.capacity = capacity
+        self.state = init_state(capacity)
+
+    def reset(self):
+        self.state = init_state(self.capacity)
+
+    def update(self, likelihood, virtual_score, nbr_idx, nbr_margin, node_valid) -> jnp.ndarray:
+        post = _predict_and_update(
+            self.state.posterior, likelihood, jnp.asarray(virtual_score, jnp.float32),
+            nbr_idx, nbr_margin, node_valid, self.kernel, self.vp_prior,
+        )
+        self.state = BayesState(posterior=post)
+        return post
+
+    @property
+    def posterior(self):
+        return self.state.posterior
+
+
+def build_neighbor_table(links, n_slots: int, depth: int, max_neighbors: int):
+    """Host-side BFS over undirected links -> (nbr_idx, nbr_margin) arrays.
+
+    ``links``: iterable of (slot_a, slot_b). Each node's table contains
+    itself at margin 0 plus neighbors up to ``depth`` hops (the reference's
+    getNeighborsId over neighbor links, BayesFilter.cpp:330).
+    """
+    adj = [[] for _ in range(n_slots)]
+    for a, b in links:
+        if 0 <= a < n_slots and 0 <= b < n_slots and a != b:
+            adj[a].append(b)
+            adj[b].append(a)
+    nbr_idx = np.full((n_slots, max_neighbors), -1, np.int32)
+    nbr_margin = np.zeros((n_slots, max_neighbors), np.int32)
+    for s in range(n_slots):
+        seen = {s: 0}
+        frontier = [s]
+        for m in range(1, depth + 1):
+            nxt = []
+            for u in frontier:
+                for v in adj[u]:
+                    if v not in seen:
+                        seen[v] = m
+                        nxt.append(v)
+            frontier = nxt
+            if not frontier:
+                break
+        items = sorted(seen.items(), key=lambda kv: (kv[1], kv[0]))[:max_neighbors]
+        for k, (v, m) in enumerate(items):
+            nbr_idx[s, k] = v
+            nbr_margin[s, k] = m
+    return nbr_idx, nbr_margin

@@ -1,0 +1,187 @@
+"""Incremental bag-of-visual-words vocabulary, MXU-native.
+
+Capability parity: the reference's ``VWDictionary``
+(/root/reference/corelib/src/VWDictionary.cpp — incremental vocabulary with
+NNDR quantization and new-word creation at :913 ``addNewWords``, index
+update at :475, fixed-dictionary mode, reference counting feeding tf-idf)
+and its FLANN backend (FlannIndex.cpp / rtflann). The kd-tree is replaced
+by EXACT blocked matmul 2-NN over a fixed-capacity ±1 descriptor slab —
+top-k on the MXU beats an incremental kd-tree on TPU and removes FLANN's
+approximation error; slab growth is a masked scatter, no rebuilds.
+
+The quantization (device) / allocation (host) split: the heavy 2-NN search
+and the slab scatter are jitted; only the new-slot numbering (a cumsum) is
+host-side.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rtabmap_tpu.ops import matching as M
+from rtabmap_tpu.ops.features import DESC_DIM
+
+
+@partial(jax.jit, static_argnames=("block",))
+def _quantize_kernel(desc, valid, slab, word_valid, nndr: jnp.ndarray, block: int = 8192):
+    """2-NN against the word slab + Lowe test.
+
+    Returns (nn_idx (K,), is_new (K,)): is_new=True when the descriptor is
+    not distinctive enough for its nearest word (dist0 > nndr * dist1 —
+    the reference's incremental-mode new-word rule), or when the
+    dictionary is empty for that query.
+    """
+    d, i = M.knn_blocked(desc, slab, k=2, block=block, base_valid=word_valid)
+    has_any = jnp.any(word_valid)
+    d0, d1 = d[:, 0], d[:, 1]
+    # no valid second neighbor -> treat as distinctive (match first) unless
+    # no words at all
+    no_second = d1 > 1e8
+    is_new = jnp.where(
+        no_second, d0 > 1e8, d0 > nndr * d1
+    )
+    is_new = jnp.where(has_any, is_new, True) & valid
+    return i[:, 0], is_new
+
+
+@jax.jit
+def _slab_insert(slab, word_valid, slots, descs, mask):
+    """Masked scatter of new word descriptors (invalid rows -> slot W=dropped)."""
+    W = slab.shape[0]
+    safe = jnp.where(mask, slots, W)
+    slab = slab.at[safe].set(descs, mode="drop")
+    word_valid = word_valid.at[safe].set(True, mode="drop")
+    return slab, word_valid
+
+
+class VWDictionary:
+    """Host-managed vocabulary over a device descriptor slab."""
+
+    def __init__(self, capacity: int = 131072, desc_dim: int = DESC_DIM,
+                 nndr: float = 0.8, incremental: bool = True, block: int = 8192):
+        self.capacity = capacity
+        self.nndr = float(nndr)
+        self.incremental = incremental
+        self.block = block
+        self.slab = jnp.zeros((capacity, desc_dim), jnp.int8)
+        self.word_valid = jnp.zeros((capacity,), bool)
+        self.n_words = 0
+
+    def quantize(self, desc, valid) -> Tuple[np.ndarray, np.ndarray]:
+        """Assign word ids to descriptors; create new words in incremental
+        mode. Returns (word_ids (K,) int32 with -1 for invalid slots,
+        is_new (K,) bool)."""
+        nn_idx, is_new = _quantize_kernel(
+            desc, valid, self.slab, self.word_valid, jnp.float32(self.nndr),
+            block=self.block,
+        )
+        nn_idx = np.asarray(nn_idx)
+        is_new = np.asarray(is_new)
+        valid_np = np.asarray(valid)
+        if not self.incremental:
+            word_ids = np.where(valid_np & ~is_new, nn_idx, -1).astype(np.int32)
+            return word_ids, np.zeros_like(is_new)
+        n_new = int(is_new.sum())
+        if n_new:
+            free = self.capacity - self.n_words
+            if n_new > free:
+                # capacity exhausted: assign nearest instead of creating
+                order = np.cumsum(is_new)
+                is_new = is_new & (order <= free)
+                n_new = int(is_new.sum())
+            slots = (self.n_words + np.cumsum(is_new) - 1).astype(np.int32)
+            self.slab, self.word_valid = _slab_insert(
+                self.slab, self.word_valid, jnp.asarray(slots), desc, jnp.asarray(is_new)
+            )
+            self.n_words += n_new
+            word_ids = np.where(is_new, slots, nn_idx)
+        else:
+            word_ids = nn_idx
+        word_ids = np.where(valid_np, word_ids, -1).astype(np.int32)
+        return word_ids, is_new
+
+    def descriptors(self, word_ids):
+        return self.slab[jnp.asarray(word_ids)]
+
+    def state_dict(self):
+        return {
+            "slab": np.asarray(self.slab),
+            "word_valid": np.asarray(self.word_valid),
+            "n_words": self.n_words,
+            "nndr": self.nndr,
+            "incremental": self.incremental,
+        }
+
+    @classmethod
+    def from_state(cls, st) -> "VWDictionary":
+        d = cls(capacity=st["slab"].shape[0], desc_dim=st["slab"].shape[1],
+                nndr=st["nndr"], incremental=st["incremental"])
+        d.slab = jnp.asarray(st["slab"])
+        d.word_valid = jnp.asarray(st["word_valid"])
+        d.n_words = int(st["n_words"])
+        return d
+
+
+# --------------------------------------------------------------- tf-idf likelihood
+
+
+@partial(jax.jit, static_argnames=("vocab_cap",))
+def tfidf_likelihood(query_words, node_words, node_valid, word_nw, n_places, vocab_cap):
+    """tf-idf likelihood of the query frame against all resident nodes.
+
+    Exact re-expression of Memory::computeLikelihood
+    (/root/reference/corelib/src/Memory.cpp:2177): for each unique query
+    word w, every node j containing w gains nwi * log10(N/nw) / ni. Here
+    the inverted-index loop becomes: build a (W,) weight indicator over
+    unique query words (scatter-set collapses duplicates), then one (N,K)
+    gather + row-sum — node word lists carry duplicates, which reproduces
+    the nwi factor exactly.
+
+    query_words (K,) int32 (-1 invalid); node_words (N,K) int32 (-1 pad);
+    word_nw (W,) float32 signatures-per-word; n_places scalar.
+    Returns (N,) float32 likelihood (invalid nodes -> 0).
+    """
+    W = vocab_cap
+    nw = jnp.maximum(word_nw, 0.0)
+    logNnw = jnp.where(nw > 0, jnp.log10(jnp.maximum(n_places, 1.0) / jnp.maximum(nw, 1.0)), 0.0)
+    qw = jnp.where(query_words >= 0, query_words, W)
+    ind = jnp.zeros((W + 1,), jnp.float32).at[qw].set(logNnw[jnp.clip(qw, 0, W - 1)], mode="drop")
+    ind = ind.at[W].set(0.0)
+    nwj = jnp.where(node_words >= 0, node_words, W)
+    contrib = ind[nwj]                       # (N,K)
+    ni = jnp.sum(node_words >= 0, axis=-1)   # words per node
+    lik = jnp.sum(contrib, axis=-1) / jnp.maximum(ni, 1)
+    return jnp.where(node_valid & (ni > 0), lik, 0.0)
+
+
+@jax.jit
+def adjust_likelihood(lik, node_valid):
+    """Angeli mean/stddev normalization + virtual-place score.
+
+    Exact re-expression of Rtabmap::adjustLikelihood
+    (/root/reference/corelib/src/Rtabmap.cpp:5691) for the default
+    ``_virtualPlaceLikelihoodRatio == 0`` mode: values > mean+std map to
+    (v - (std - eps)) / mean, others to 1; virtual place scores
+    mean/std + 1 (or 2 when degenerate).
+
+    Returns (adjusted (N,), virtual_score ()).
+    """
+    eps = 1e-4
+    mask = node_valid & (lik > 0)
+    n = jnp.maximum(jnp.sum(mask), 1)
+    mean = jnp.sum(jnp.where(mask, lik, 0.0)) / n
+    var = jnp.sum(jnp.where(mask, (lik - mean) ** 2, 0.0)) / jnp.maximum(n - 1, 1)
+    std = jnp.sqrt(jnp.maximum(var, 0.0))
+    max_v = jnp.max(jnp.where(mask, lik, 0.0))
+    adjusted = jnp.where(
+        mask & (lik > mean + std) & (mean > 0),
+        (lik - (std - eps)) / jnp.maximum(mean, 1e-12),
+        1.0,
+    )
+    adjusted = jnp.where(node_valid, adjusted, 0.0)
+    virtual = jnp.where((std > eps) & (max_v > 0), mean / jnp.maximum(std, 1e-12) + 1.0, 2.0)
+    return adjusted, virtual
