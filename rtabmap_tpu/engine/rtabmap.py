@@ -1,0 +1,464 @@
+"""The SLAM engine: per-frame ``process()`` state machine.
+
+Capability parity: the reference's ``Rtabmap`` class
+(/root/reference/corelib/src/Rtabmap.cpp — ``process`` :1210 and the stage
+breakdown in SURVEY.md §3.2): memory update + rehearsal, metric gating,
+tf-idf likelihood -> Angeli adjustment -> Bayes posterior -> hypothesis
+selection (value = 1 - P(virtual), accept at Rtabmap/LoopThr with
+single-hypothesis and loop-ratio guards), LTM->WM retrieval around the
+hypothesis, proximity detection in RGBD/LocalRadius, loop-closure
+transform via shared words, graph optimization with the
+RGBD/OptimizeMaxError reject gate, WM->LTM transfer bounded by
+Rtabmap/MemoryThr / TimeThr, statistics, multi-session ``trigger_new_map``
+and localization mode.
+
+Host/device cut: policy & bookkeeping here (host), every heavy stage
+(likelihood, posterior, registration RANSAC, graph optimization) is a
+jitted kernel over the Memory slabs.
+"""
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rtabmap_tpu.bayes import filter as BF
+from rtabmap_tpu.core.frame import FrameFeatures
+from rtabmap_tpu.geometry import camera as C
+from rtabmap_tpu.geometry import transform as T
+from rtabmap_tpu.memory.memory import (
+    LINK_GLOBAL_CLOSURE, LINK_LOCAL_SPACE_CLOSURE, LINK_NEIGHBOR,
+    Link, Memory, Signature,
+)
+from rtabmap_tpu.optim import pose_graph as PG
+from rtabmap_tpu.utils.logging import Statistics, Timer, get_logger
+from rtabmap_tpu.utils.params import Parameters
+from rtabmap_tpu.vocab.dictionary import adjust_likelihood, tfidf_likelihood
+
+log = get_logger("engine")
+
+
+def info_from_cov(cov: np.ndarray, min_var: float = 1e-6, max_var: float = 1e4) -> np.ndarray:
+    """Robust 6x6 information from covariance: symmetrize + eigenvalue clip
+    (the reference similarly bounds registration covariances before
+    building link informations)."""
+    c = np.asarray(cov, np.float64)
+    c = 0.5 * (c + c.T)
+    if not np.isfinite(c).all():
+        return np.eye(6) * (1.0 / max_var)
+    w, V = np.linalg.eigh(c)
+    w = np.clip(w, min_var, max_var)
+    return (V @ np.diag(1.0 / w) @ V.T).astype(np.float32)
+
+
+class Rtabmap:
+    def __init__(self, cam: C.CameraModel, params: Optional[Parameters] = None,
+                 db=None, node_capacity: int = 1024, words_per_frame: int = 512,
+                 seed: int = 42):
+        p = params or Parameters()
+        self.params = p
+        self.cam = cam
+        self.memory = Memory(p, node_capacity=node_capacity,
+                             words_per_frame=words_per_frame, db=db)
+        self.bayes = BF.BayesFilter(
+            node_capacity,
+            prediction_lc=[float(x) for x in str(p["Bayes/PredictionLC"]).split()],
+            virtual_place_prior=float(p["Bayes/VirtualPlacePriorThr"]),
+        )
+        self.loop_thr = float(p["Rtabmap/LoopThr"])
+        self.loop_ratio = float(p["Rtabmap/LoopRatio"])
+        self.max_error = float(p["RGBD/OptimizeMaxError"])
+        self.local_radius = float(p["RGBD/LocalRadius"])
+        self.prox_max_paths = int(p["RGBD/ProximityMaxPaths"])
+        self.time_thr = float(p["Rtabmap/TimeThr"])        # ms, 0 = off
+        self.memory_thr = int(p["Rtabmap/MemoryThr"])      # nodes, 0 = off
+        self.min_inliers = int(p["Vis/MinInliers"])
+        self.rgbd_mode = bool(p["RGBD/Enabled"])
+        self.detection_rate = float(p["Rtabmap/DetectionRate"])
+        self.linear_update = float(p["RGBD/LinearUpdate"])
+        self.angular_update = float(p["RGBD/AngularUpdate"])
+        self.retrieval_margin = 2  # graph-depth margin around hypothesis
+
+        self.optimized_poses: Dict[int, np.ndarray] = {}
+        self.map_correction = np.asarray(T.identity())
+        self.last_hypothesis: Tuple[int, float] = (0, 0.0)
+        self.loop_closure_id = 0
+        self.last_proximity_id = 0
+        self._last_process_stamp = -1e9
+        self._last_pose: Optional[np.ndarray] = None
+        self._key = jax.random.PRNGKey(seed)
+        self.stats_history: List[Statistics] = []
+
+    # ------------------------------------------------------------------ utils
+    def _split_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def trigger_new_map(self):
+        """(reference: Rtabmap::triggerNewMap Rtabmap.cpp:914.)"""
+        self.memory.new_map()
+        self.bayes.reset()
+        self.last_hypothesis = (0, 0.0)
+
+    # ---------------------------------------------------------------- process
+    def process(self, frame: FrameFeatures, odom_pose, covariance=None,
+                stamp: float = 0.0) -> Statistics:
+        st = Statistics()
+        timer = Timer()
+        odom_pose = np.asarray(odom_pose, np.float32)
+        cov = np.asarray(covariance) if covariance is not None else np.eye(6) * 1e-4
+
+        # --- detection-rate gate (reference gates in RtabmapThread; here we
+        # keep it in-engine for the synchronous API)
+        if self.detection_rate > 0 and stamp > 0:
+            if stamp - self._last_process_stamp < 1.0 / self.detection_rate - 1e-6:
+                st.add("Rtabmap/Skipped", 1)
+                return st
+        self._last_process_stamp = stamp
+
+        # --- odometry failure -> new session (covariance >= 9999 convention)
+        if cov[0, 0] >= 9999.0 and self.memory.n_resident > 0:
+            self.trigger_new_map()
+
+        # --- B. memory update
+        with st.time_stage("Timing/Memory update/ms"):
+            prev_id = self.memory.stm[-1] if self.memory.stm else None
+            sig = self.memory.create_signature(frame, odom_pose, stamp)
+            neighbor_link = None
+            if prev_id is not None:
+                prev = self.memory.get(prev_id)
+                t_ab = np.asarray(T.relative(jnp.asarray(prev.pose), jnp.asarray(odom_pose)))
+                neighbor_link = Link(prev_id, sig.id, LINK_NEIGHBOR, t_ab,
+                                     info_from_cov(cov))
+            rehearsed = self.memory.rehearsal(sig)
+            self.memory.add_to_stm(sig, neighbor_link)
+            st.add("Memory/RehearsalMerged", float(rehearsed))
+
+        # --- C. metric gating: small displacement
+        small_displacement = False
+        if self.rgbd_mode and self._last_pose is not None:
+            d = T.relative(jnp.asarray(self._last_pose), jnp.asarray(odom_pose))
+            lin = float(T.translation_norm(d))
+            ang = float(T.rotation_angle(d))
+            if (self.linear_update > 0 and lin < self.linear_update and
+                    self.angular_update > 0 and ang < self.angular_update):
+                small_displacement = True
+        self._last_pose = odom_pose
+
+        # --- D. appearance hypothesis
+        hypothesis_id, hypothesis_value = 0, 0.0
+        wm_ids = list(self.memory.wm)
+        if wm_ids and not small_displacement:
+            with st.time_stage("Timing/Likelihood computation/ms"):
+                lik, virt = self._compute_likelihood(sig)
+            with st.time_stage("Timing/Posterior computation/ms"):
+                post = self._compute_posterior(lik, virt)
+            hypothesis_id, hypothesis_value = self._select_hypothesis(post)
+            st.add("Loop/Highest hypothesis id/", hypothesis_id)
+            st.add("Loop/Highest hypothesis value/", hypothesis_value)
+
+        # --- accept rules
+        accepted_id = 0
+        if hypothesis_id > 0 and hypothesis_value >= self.loop_thr:
+            n_hyp = len(wm_ids)
+            if n_hyp <= 1:
+                log.debug("rejected hypothesis: single hypothesis")
+            elif (self.loop_ratio > 0 and
+                  (self.last_hypothesis[1] == 0.0 or
+                   hypothesis_value < self.loop_ratio * self.last_hypothesis[1])):
+                log.debug("rejected hypothesis: loop ratio")
+            else:
+                accepted_id = hypothesis_id
+        self.last_hypothesis = (hypothesis_id, hypothesis_value)
+
+        # --- E. retrieval: page hypothesis neighborhood back from LTM
+        if hypothesis_id > 0:
+            with st.time_stage("Timing/Retrieval/ms"):
+                near = self._graph_neighborhood(hypothesis_id, self.retrieval_margin)
+                ltm_ids = [i for i in near
+                           if (s := self.memory.get(i)) is not None and s.in_ltm]
+                if ltm_ids:
+                    got = self.memory.retrieve(ltm_ids)
+                    st.add("Memory/Retrieved/", len(got))
+
+        # --- G. loop-closure transform
+        links_added: List[Link] = []
+        if accepted_id > 0:
+            with st.time_stage("Timing/Add loop closure link/ms"):
+                t_ab, lc_cov, inliers = self.memory.compute_transform(
+                    accepted_id, sig.id, self.cam, self._split_key(),
+                    min_inliers=self.min_inliers,
+                )
+                st.add("Loop/Visual inliers/", inliers)
+                if t_ab is not None:
+                    lk = Link(accepted_id, sig.id, LINK_GLOBAL_CLOSURE, t_ab,
+                              info_from_cov(lc_cov))
+                    self.memory.add_link(lk)
+                    links_added.append(lk)
+                    self.loop_closure_id = accepted_id
+                else:
+                    accepted_id = 0
+
+        # --- F. proximity detection (local space closures)
+        if self.rgbd_mode and not small_displacement and self.local_radius > 0:
+            with st.time_stage("Timing/Proximity by space/ms"):
+                prox_links = self._proximity_detection(sig)
+                links_added.extend(prox_links)
+                st.add("Proximity/Space links added/", len(prox_links))
+
+        # --- I. graph optimization (+ max-error reject gate)
+        if self.rgbd_mode:
+            with st.time_stage("Timing/Map optimization/ms"):
+                self._optimize(st, links_added)
+        else:
+            self.optimized_poses[sig.id] = odom_pose
+
+        # --- K. transfer (WM -> LTM)
+        with st.time_stage("Timing/Memory cleanup/ms"):
+            self._transfer(st)
+
+        # --- J/L statistics
+        st.ref_id = sig.id
+        st.loop_closure_id = self.loop_closure_id if accepted_id else 0
+        st.add("Memory/Working memory size/", len(self.memory.wm))
+        st.add("Memory/Short time memory size/", len(self.memory.stm))
+        st.add("Keypoint/Dictionary size/words", self.memory.vocab.n_words)
+        st.add("Loop/Id/", accepted_id)
+        st.add("Timing/Total/ms", timer.elapsed() * 1000.0)
+        self.stats_history.append(st)
+        return st
+
+    # ------------------------------------------------------------- likelihood
+    def _compute_likelihood(self, sig: Signature):
+        mem = self.memory
+        # mask STM + current signature out of the likelihood targets
+        # (reference computes likelihood over WM only)
+        stm_slots = [mem.get(i).slot for i in mem.stm if mem.get(i).slot >= 0]
+        valid = np.asarray(mem.node_valid).copy()
+        for s in stm_slots:
+            valid[s] = False
+        lik = tfidf_likelihood(
+            jnp.asarray(sig.word_ids), mem.node_words, jnp.asarray(valid),
+            mem.word_nw, jnp.float32(mem.n_resident), mem.vocab.capacity,
+        )
+        adj, virt = adjust_likelihood(lik, jnp.asarray(valid))
+        return adj, virt
+
+    def _compute_posterior(self, lik, virt):
+        mem = self.memory
+        links = []
+        for i in mem.wm:
+            s = mem.get(i)
+            if s.slot < 0:
+                continue
+            for j, lk in s.links.items():
+                o = mem.get(j)
+                if o is not None and o.slot >= 0 and lk.type == LINK_NEIGHBOR:
+                    links.append((s.slot, o.slot))
+        depth = self.bayes.kernel.shape[0] - 2
+        nbr_idx, nbr_margin = BF.build_neighbor_table(
+            links, mem.node_capacity, depth=min(depth, 8),
+            max_neighbors=2 * min(depth, 8) + 1,
+        )
+        wm_valid = np.zeros((mem.node_capacity,), bool)
+        for i in mem.wm:
+            s = mem.get(i)
+            if s.slot >= 0:
+                wm_valid[s.slot] = True
+        return self.bayes.update(
+            lik, virt, jnp.asarray(nbr_idx), jnp.asarray(nbr_margin),
+            jnp.asarray(wm_valid),
+        )
+
+    def _select_hypothesis(self, post) -> Tuple[int, float]:
+        p = np.asarray(post)
+        mem = self.memory
+        slot = int(p[:-1].argmax())
+        sid = int(mem._slot_to_id[slot])
+        if sid <= 0 or p[slot] <= 0:
+            return 0, 0.0
+        # value = 1 - P(virtual place) (reference Rtabmap.cpp:2157)
+        return sid, float(1.0 - p[-1])
+
+    # -------------------------------------------------------------- proximity
+    def _graph_neighborhood(self, sid: int, depth: int) -> List[int]:
+        out = {sid}
+        frontier = [sid]
+        for _ in range(depth):
+            nxt = []
+            for i in frontier:
+                s = self.memory.get(i)
+                if s is None:
+                    continue
+                for j in s.links:
+                    if j not in out:
+                        out.add(j)
+                        nxt.append(j)
+            frontier = nxt
+        return sorted(out)
+
+    def _proximity_detection(self, sig: Signature) -> List[Link]:
+        """Find old nodes within RGBD/LocalRadius of the current optimized
+        pose and register against the nearest per cluster
+        (reference: Rtabmap.cpp:2677-3130)."""
+        mem = self.memory
+        cur_pose = self.optimized_poses.get(sig.id)
+        if cur_pose is None:
+            cur_pose = np.asarray(
+                T.compose(jnp.asarray(self.map_correction), jnp.asarray(sig.pose))
+            )
+        recent = set(self._graph_neighborhood(sig.id, 6))  # skip recent chain
+        cands = []
+        for i in mem.wm:
+            if i in recent or i == sig.id:
+                continue
+            s = mem.get(i)
+            if s.slot < 0:
+                continue
+            pose = self.optimized_poses.get(i)
+            if pose is None:
+                continue
+            d = np.linalg.norm(pose[:3, 3] - cur_pose[:3, 3])
+            if d < self.local_radius:
+                cands.append((d, i))
+        cands.sort()
+        out: List[Link] = []
+        for _, i in cands[: self.prox_max_paths]:
+            guess = np.asarray(
+                T.relative(jnp.asarray(self.optimized_poses[i]), jnp.asarray(cur_pose))
+            )
+            t_ab, cov, inl = mem.compute_transform(
+                i, sig.id, self.cam, self._split_key(),
+                guess=guess, min_inliers=self.min_inliers,
+            )
+            if t_ab is not None:
+                lk = Link(i, sig.id, LINK_LOCAL_SPACE_CLOSURE, t_ab,
+                          info_from_cov(cov))
+                mem.add_link(lk)
+                out.append(lk)
+                self.last_proximity_id = i
+                break  # one proximity link per tick (nearest path)
+        return out
+
+    # ------------------------------------------------------------ optimization
+    def _build_graph(self):
+        poses, links = self.memory.get_constraints(session_only=False)
+        ids = sorted(poses)
+        id_to_idx = {i: k for k, i in enumerate(ids)}
+        N = len(ids)
+        pose_arr = np.stack([
+            self.optimized_poses.get(i, poses[i]) for i in ids
+        ]) if N else np.zeros((0, 3, 4), np.float32)
+        ef, et, meas, info = [], [], [], []
+        for lk in links:
+            if lk.from_id in id_to_idx and lk.to_id in id_to_idx:
+                ef.append(id_to_idx[lk.from_id])
+                et.append(id_to_idx[lk.to_id])
+                meas.append(lk.transform)
+                info.append(lk.information)
+        return ids, pose_arr, np.array(ef, np.int32), np.array(et, np.int32), \
+            (np.stack(meas) if meas else np.zeros((0, 3, 4), np.float32)), \
+            (np.stack(info) if info else np.zeros((0, 6, 6), np.float32))
+
+    def _optimize(self, st: Statistics, new_links: List[Link]):
+        # Without new constraints the graph optimum is unchanged — just
+        # propagate the map correction onto the new node (the reference
+        # equally skips optimizeCurrentMap when no closure was added).
+        if not new_links:
+            for i in (self.memory.stm + self.memory.wm):
+                if i not in self.optimized_poses:
+                    self.optimized_poses[i] = np.asarray(
+                        T.compose(jnp.asarray(self.map_correction),
+                                  jnp.asarray(self.memory.get(i).pose)))
+            return
+        ids, poses, ef, et, meas, info = self._build_graph()
+        if len(ids) < 2 or len(ef) < 1:
+            for i in ids:
+                self.optimized_poses[i] = np.asarray(
+                    T.compose(jnp.asarray(self.map_correction),
+                              jnp.asarray(self.memory.get(i).pose)))
+            if ids:
+                self._update_map_correction(ids[-1])
+            return
+        # pad nodes/edges to pow2 buckets so jit caches a few shapes only
+        N, E = len(ids), len(ef)
+        Np = 1 << max(N - 1, 1).bit_length()
+        Ep = 1 << max(E - 1, 1).bit_length()
+        poses_p = np.concatenate([poses, np.tile(np.eye(3, 4, dtype=np.float32), (Np - N, 1, 1))])
+        node_valid = np.arange(Np) < N
+        ef_p = np.concatenate([ef, np.zeros(Ep - E, np.int32)])
+        et_p = np.concatenate([et, np.zeros(Ep - E, np.int32)])
+        meas_p = np.concatenate([meas, np.tile(np.eye(3, 4, dtype=np.float32), (Ep - E, 1, 1))])
+        info_p = np.concatenate([info, np.tile(np.eye(6, dtype=np.float32)[None], (Ep - E, 1, 1))])
+        edge_valid = np.arange(Ep) < E
+        g = PG.make_graph(jnp.asarray(poses_p), jnp.asarray(ef_p), jnp.asarray(et_p),
+                          jnp.asarray(meas_p), jnp.asarray(info_p),
+                          node_valid=jnp.asarray(node_valid),
+                          edge_valid=jnp.asarray(edge_valid),
+                          root=N - 1)
+        out, chi2 = PG.optimize(g, iters=12)
+        lin_ratio, ang_ratio = PG.edge_errors(out)
+        max_err = float(jnp.maximum(jnp.max(lin_ratio), jnp.max(ang_ratio))) if len(ef) else 0.0
+        st.add("Loop/Optimization max error ratio/", max_err)
+
+        new_poses = np.asarray(out.poses)
+        diverged = not np.isfinite(new_poses[: len(ids)]).all() or not np.isfinite(max_err)
+        if new_links and (diverged or
+                          (self.max_error > 0 and max_err > self.max_error)):
+            # reject the new loop closures: remove links, keep old poses
+            for lk in new_links:
+                self.memory.remove_link(lk.from_id, lk.to_id)
+            st.add("Loop/Rejected by optimization/", 1)
+            self.loop_closure_id = 0
+            return
+        if diverged:
+            st.add("Loop/Optimization diverged/", 1)
+            return
+        for k, i in enumerate(ids):
+            self.optimized_poses[i] = new_poses[k]
+        self._update_map_correction(ids[-1])
+
+    def _update_map_correction(self, last_id: int):
+        odo = jnp.asarray(self.memory.get(last_id).pose)
+        opt = jnp.asarray(self.optimized_poses[last_id])
+        self.map_correction = np.asarray(T.compose(opt, T.inverse(odo)))
+
+    # ---------------------------------------------------------------- transfer
+    def _transfer(self, st: Statistics):
+        overflow = 0
+        if self.memory_thr > 0:
+            overflow = max(len(self.memory.wm) - self.memory_thr, 0)
+        total_ms = st.get("Timing/Total/ms", 0.0)
+        if self.time_thr > 0 and total_ms > self.time_thr:
+            overflow = max(overflow, max(len(self.memory.wm) // 10, 1))
+        # slab almost full -> force transfer
+        free = len(self.memory._free_slots)
+        if free < self.memory.stm_size + 2:
+            overflow = max(overflow, self.memory.stm_size + 2 - free)
+        if overflow <= 0:
+            return
+        immune = set(self._graph_neighborhood(self.loop_closure_id, 2)) if self.loop_closure_id else set()
+        ids = self.memory.removable_ids(overflow, immune)
+        for i in ids:
+            self.memory.move_to_ltm(i)
+        st.add("Memory/Transferred/", len(ids))
+
+    # --------------------------------------------------------------- exports
+    def get_optimized_poses(self) -> Dict[int, np.ndarray]:
+        return dict(self.optimized_poses)
+
+    def get_graph(self):
+        return self.memory.get_constraints(session_only=False)
+
+    def close(self):
+        if self.memory.db is not None:
+            for i in list(self.memory.wm) + list(self.memory.stm):
+                self.memory.db.save_signature(self.memory.get(i))
+            self.memory.db.save_admin(
+                params=self.params.as_dict(),
+                optimized_poses=self.optimized_poses,
+            )
+            self.memory.db.flush()

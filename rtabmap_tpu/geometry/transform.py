@@ -98,11 +98,14 @@ def so3_exp(phi):
 
 
 def so3_log(R):
-    """(...,3,3) -> (...,3). Handles angles near 0 and near pi."""
+    """(...,3,3) -> (...,3). Handles angles near 0 and near pi.
+
+    AD-safe: every branch is evaluated on guarded inputs so jacfwd/jacrev
+    stay finite even at exact identity (needed by the pose-graph
+    optimizer's vmapped edge Jacobians).
+    """
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_t)
-    # generic: theta/(2 sin theta) * vee(R - R^T)
     vee = jnp.stack(
         [
             R[..., 2, 1] - R[..., 1, 2],
@@ -111,19 +114,23 @@ def so3_log(R):
         ],
         axis=-1,
     )
-    sin_t = jnp.sin(theta)
+    # theta via atan2(sin, cos): |vee| = 2 sin(theta); the max() floor keeps
+    # sqrt differentiable at identity (derivative clamps to 0, not inf)
+    sin_sq = jnp.sum(vee * vee, axis=-1) * 0.25
+    sin_t = jnp.sqrt(jnp.maximum(sin_sq, 1e-24))
+    theta = jnp.arctan2(sin_t, cos_t)
     small = theta < 1e-4
-    scale = jnp.where(
-        small, 0.5 + theta * theta / 12.0, theta / jnp.maximum(2.0 * sin_t, _EPS)
-    )
+    # generic scale with a guarded denominator (safe value where unselected)
+    sin_safe = jnp.where(small, 1.0, sin_t)
+    scale = jnp.where(small, 0.5 + theta * theta / 12.0, theta / (2.0 * sin_safe))
     generic = scale[..., None] * vee
-    # near pi: axis from diagonal of (R + I)/2
+    # near pi: axis from diagonal of (R + I)/2, guarded divisions/sqrts
     near_pi = theta > jnp.pi - 1e-3
     B = (R + jnp.swapaxes(R, -1, -2)) * 0.5
     diag = jnp.stack([B[..., 0, 0], B[..., 1, 1], B[..., 2, 2]], axis=-1)
-    axis_sq = jnp.clip((diag - cos_t[..., None]) / jnp.maximum(1.0 - cos_t[..., None], _EPS), 0.0, None)
-    axis = jnp.sqrt(axis_sq)
-    # fix signs using vee (sign of sin-part) where usable, else off-diagonals
+    denom = jnp.where(near_pi, 1.0 - cos_t, 1.0)[..., None]
+    axis_sq = jnp.clip((diag - cos_t[..., None]) / denom, 0.0, None)
+    axis = jnp.sqrt(jnp.maximum(axis_sq, 1e-24))
     sgn = jnp.where(vee >= 0, 1.0, -1.0)
     axis = axis * sgn
     axis = axis / jnp.maximum(jnp.linalg.norm(axis, axis=-1, keepdims=True), _EPS)
@@ -294,9 +301,25 @@ def translation_norm(T):
 
 
 def rotation_angle(T):
-    """Geodesic rotation angle in radians."""
-    tr = T[..., 0, 0] + T[..., 1, 1] + T[..., 2, 2]
-    return jnp.arccos(jnp.clip((tr - 1.0) * 0.5, -1.0, 1.0))
+    """Geodesic rotation angle in radians.
+
+    atan2(|vee|/2, (tr-1)/2) instead of arccos — float32-accurate at small
+    angles (arccos loses ~4e-4 rad near identity, which would swamp the
+    pose-graph error-gate ratios against mrad-level link stddevs).
+    """
+    R = T[..., :3, :3]
+    tr = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
+    vee = jnp.stack(
+        [
+            R[..., 2, 1] - R[..., 1, 2],
+            R[..., 0, 2] - R[..., 2, 0],
+            R[..., 1, 0] - R[..., 0, 1],
+        ],
+        axis=-1,
+    )
+    sin_t = 0.5 * jnp.linalg.norm(vee, axis=-1)
+    cos_t = jnp.clip((tr - 1.0) * 0.5, -1.0, 1.0)
+    return jnp.arctan2(sin_t, cos_t)
 
 
 def is_identity(T, tol=1e-6):

@@ -139,6 +139,31 @@ def select_top_k_grid(score, k: int, grid: Tuple[int, int] = (4, 4),
                      octave=jnp.zeros((k,), jnp.int32), valid=valid)
 
 
+def refine_subpixel(score, kps: Keypoints):
+    """Quadratic 3x3 subpixel refinement of keypoint locations on the score
+    map (reference: Kp/SubPixWinSize cornerSubPix in Features2d.cpp).
+    Removes the integer-pixel quantization that biases wide-baseline
+    registration. Offsets are clamped to ±0.6 px."""
+    H, W = score.shape[-2:]
+    u = kps.uv[:, 0].astype(jnp.int32)
+    v = kps.uv[:, 1].astype(jnp.int32)
+
+    def tap(dv, du):
+        vv = jnp.clip(v + dv, 0, H - 1)
+        uu = jnp.clip(u + du, 0, W - 1)
+        return score.reshape(-1)[vv * W + uu]
+
+    c = tap(0, 0)
+    dx = 0.5 * (tap(0, 1) - tap(0, -1))
+    dy = 0.5 * (tap(1, 0) - tap(-1, 0))
+    dxx = tap(0, 1) + tap(0, -1) - 2 * c
+    dyy = tap(1, 0) + tap(-1, 0) - 2 * c
+    off_u = jnp.where(jnp.abs(dxx) > 1e-12, -dx / dxx, 0.0)
+    off_v = jnp.where(jnp.abs(dyy) > 1e-12, -dy / dyy, 0.0)
+    off = jnp.stack([jnp.clip(off_u, -0.6, 0.6), jnp.clip(off_v, -0.6, 0.6)], axis=-1)
+    return kps._replace(uv=jnp.where(kps.valid[:, None], kps.uv + off, kps.uv))
+
+
 # ----------------------------------------------------------------- orientation
 
 
@@ -224,7 +249,7 @@ def keypoints_3d_from_depth(kps: Keypoints, depth, cam, min_depth=0.1, max_depth
 
 def detect_and_describe(gray, max_kp: int, use_grid: bool = True,
                         grid: Tuple[int, int] = (4, 4), quality_level: float = 0.01,
-                        nms_size: int = 7):
+                        nms_size: int = 7, subpixel: bool = True):
     """Full single-image pipeline: GFTT score -> NMS top-k -> orientation ->
     rotated-BRIEF. Returns (Keypoints, desc(K,256) int8)."""
     score = shi_tomasi_response(gray)
@@ -232,7 +257,14 @@ def detect_and_describe(gray, max_kp: int, use_grid: bool = True,
         kps = select_top_k_grid(score, max_kp, grid, nms_size, quality_level)
     else:
         kps = select_top_k(score, max_kp, nms_size, quality_level)
+    # Orientation + description are sampled at the INTEGER peak — sampling
+    # the test pattern at fractional offsets flips sign bits and ruins
+    # descriptor repeatability. The subpixel-refined uv is applied after,
+    # for geometry only (observations + 3D backprojection), where it
+    # removes the quantization bias in wide-baseline registration.
     kps = compute_orientation(gray, kps)
     blur = im.gaussian_blur(gray, sigma=2.0, radius=4)
     desc = describe(blur, kps)
+    if subpixel:
+        kps = refine_subpixel(score, kps)
     return kps, desc

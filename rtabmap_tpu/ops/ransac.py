@@ -239,19 +239,37 @@ def ransac_pnp(pts3d, uv, valid, cam: C.CameraModel, key,
     n = jnp.sum(inliers)
     success = n >= min_inliers
 
-    # covariance from final normal equations
-    w = inliers.astype(jnp.float32)
-    _, res_f, _ = pnp_gn(pts3d, xn, w, Tcw, iters=1)
-    var = jnp.sum(jnp.where(inliers[:, None], res_f * res_f, 0.0)) / jnp.maximum(2 * n - 6, 1)
-    # rebuild JtJ at solution
-    pc = jnp.einsum("ij,nj->ni", T.rotation(Tcw), pts3d) + T.translation(Tcw)[None, :]
-    x, y, z = pc[..., 0], pc[..., 1], jnp.where(jnp.abs(pc[..., 2]) > 1e-6, pc[..., 2], 1e-6)
-    iz = 1.0 / z
-    iz2 = iz * iz
-    zeros = jnp.zeros_like(x)
-    Ju = jnp.stack([iz, zeros, -x * iz2, -x * y * iz2, 1.0 + x * x * iz2, -y * iz], axis=-1)
-    Jv = jnp.stack([zeros, iz, -y * iz2, -(1.0 + y * y * iz2), x * y * iz2, x * iz], axis=-1)
-    J = jnp.stack([Ju, Jv], axis=-2)
-    JtJ = jnp.einsum("nri,nrj,n->ij", J, J, w)
-    cov = jnp.linalg.inv(JtJ + 1e-6 * jnp.eye(6)) * jnp.maximum(var, 1e-10) * 2.0
-    return RansacResult(T.inverse(Tcw), inliers, n.astype(jnp.int32), success, cov)
+    # Covariance: the reference's robust 3D-disagreement convention
+    # (util3d_motion_estimation.cpp:157-231): per-inlier squared distance
+    # between A's object point and B's 3D observation mapped into A's
+    # frame; linear variance = 2.1981 x lower-quartile, angular variance
+    # from the angle between the two 3D directions. This deliberately
+    # loose covariance reflects systematic depth error, unlike the
+    # (over-tight) GN information matrix.
+    T_wc = T.inverse(Tcw)
+    if pts3d_query is not None:
+        has_q = jnp.any(pts3d_query != 0.0, axis=-1)
+        mapped = T.apply(T_wc[None], pts3d_query[None])[0]  # B pts in A frame
+        cov_valid = inliers & has_q
+        d2 = jnp.sum((pts3d - mapped) ** 2, axis=-1)
+        v1 = pts3d
+        v2 = mapped
+        cosang = jnp.sum(v1 * v2, -1) / jnp.maximum(
+            jnp.linalg.norm(v1, axis=-1) * jnp.linalg.norm(v2, axis=-1), 1e-9)
+        ang = jnp.arccos(jnp.clip(cosang, -1.0, 1.0))
+        nv = jnp.maximum(jnp.sum(cov_valid), 1)
+        q_idx = nv // 4
+        d2_sorted = jnp.sort(jnp.where(cov_valid, d2, jnp.inf))
+        ang_sorted = jnp.sort(jnp.where(cov_valid, ang, jnp.inf))
+        lin_var = 2.1981 * jnp.take(d2_sorted, q_idx)
+        ang_var = 2.1981 * jnp.take(ang_sorted, q_idx)
+        lin_var = jnp.where(jnp.isfinite(lin_var), jnp.maximum(lin_var, 1e-8), 1.0)
+        ang_var = jnp.where(jnp.isfinite(ang_var), jnp.maximum(ang_var, 1e-8), 1.0)
+    else:
+        # no query 3D: identity scaled by RMS reprojection error in pixels
+        # (util3d_motion_estimation.cpp:259-270)
+        px_err2 = jnp.sum(jnp.where(inliers[:, None], res * res, 0.0)) * (fx * fx)
+        rms = jnp.sqrt(px_err2 / jnp.maximum(n, 1))
+        lin_var = ang_var = jnp.maximum(jnp.sqrt(rms), 1e-8)
+    cov = jnp.diag(jnp.concatenate([jnp.full((3,), lin_var), jnp.full((3,), ang_var)]))
+    return RansacResult(T_wc, inliers, n.astype(jnp.int32), success, cov)

@@ -95,14 +95,26 @@ def graph_chi2(g: PoseGraph):
 
 
 def edge_errors(g: PoseGraph):
-    """Per-edge (trans_err, rot_err, mahalanobis-sigma) — used by the
-    engine's RGBD/OptimizeMaxError gate (Rtabmap.cpp computeMaxGraphErrors)."""
-    r = graph_residuals(g)
-    t_err = jnp.linalg.norm(r[:, :3], axis=-1)
-    r_err = jnp.linalg.norm(r[:, 3:], axis=-1)
-    # per-link error over stddev: sqrt(r^T Omega r / 6)
-    sig = jnp.sqrt(jnp.maximum(jnp.einsum("ei,eij,ej->e", r, g.edges_info, r), 0.0))
-    return t_err, r_err, sig
+    """Per-edge error ratios matching graph::computeMaxGraphErrors
+    (/root/reference/corelib/src/Graph.cpp:937): linear = max |component
+    diff| between optimized relative pose and the link measurement over the
+    link's translational stddev; angular = geodesic angle over rotational
+    stddev. Link variance = max diagonal covariance (1/min info diag).
+
+    Returns (lin_ratio (E,), ang_ratio (E,)).
+    """
+    rel = jax.vmap(T.relative)(g.poses[g.edges_from], g.poses[g.edges_to])
+    dt = jnp.abs(T.translation(rel) - T.translation(g.edges_meas))
+    lin_err = jnp.max(dt, axis=-1)
+    dR = jax.vmap(lambda a, b: T.rotation_angle(T.compose(T.inverse(a), b)))(
+        g.edges_meas, rel
+    )
+    diag = jnp.diagonal(g.edges_info, axis1=-2, axis2=-1)
+    trans_std = jnp.sqrt(1.0 / jnp.maximum(jnp.min(diag[:, :3], axis=-1), 1e-12))
+    rot_std = jnp.sqrt(1.0 / jnp.maximum(jnp.min(diag[:, 3:], axis=-1), 1e-12))
+    lin_ratio = jnp.where(g.edge_valid, lin_err / trans_std, 0.0)
+    ang_ratio = jnp.where(g.edge_valid, dR / rot_std, 0.0)
+    return lin_ratio, ang_ratio
 
 
 # ------------------------------------------------------------------- solvers
