@@ -1,0 +1,168 @@
+"""Multi-chip sharding: vocabulary search, likelihood, and pose-graph solves
+over a `jax.sharding.Mesh`.
+
+The reference is single-process (SURVEY.md §2.3/§5.8 — no distributed
+backend exists in RTAB-Map; scaling beyond one machine is out of its
+scope). This module is the TPU-native scaling story that replaces it:
+
+- ``vocab`` axis: the visual-word descriptor slab is sharded across chips;
+  2-NN quantization runs shard-local on the MXU and the global top-2 is
+  reduced with one gather (loop-closure search scales linearly with
+  chips).
+- ``node`` axis: WM node slabs shard across chips; tf-idf likelihood is
+  embarrassingly parallel over nodes.
+- ``edge`` axis: the pose-graph PCG Hx product shards over the edge slab;
+  scatter-adds into the (replicated) pose vector become psums — the
+  blocked-Schur/CG pattern from the scaling playbook.
+
+Everything uses `shard_map` + explicit PartitionSpecs so XLA inserts ICI
+collectives; the same code runs on a virtual CPU mesh for tests.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+def shard_map(f, mesh, in_specs, out_specs):
+    """jax.shard_map with replication checking off (our reductions make
+    outputs replicated, which the static checker cannot infer)."""
+    return jax.shard_map(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                         check_vma=False)
+
+from rtabmap_tpu.ops.features import DESC_DIM
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "shard") -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), (axis,))
+
+
+# ------------------------------------------------------------- vocabulary 2NN
+
+
+def sharded_knn2(mesh: Mesh, query, slab, slab_valid, axis: str = "shard"):
+    """Exact global 2-NN of query (Q,D) against a word slab sharded over
+    ``axis``. Returns (dists (Q,2), global indices (Q,2)).
+
+    Per-shard matmul top-2 (MXU) -> all_gather of 2 candidates/shard ->
+    final top-2. Communication: Q x 2 x n_shards scalars, negligible next
+    to the matmul.
+    """
+    n_shards = mesh.shape[axis]
+    W = slab.shape[0]
+    shard_w = W // n_shards
+
+    def local(query, slab_l, valid_l):
+        sim = jnp.dot(query.astype(jnp.bfloat16), slab_l.astype(jnp.bfloat16).T,
+                      preferred_element_type=jnp.float32)
+        dist = jnp.where(valid_l[None, :], (DESC_DIM - sim) * 0.5, 1e9)
+        nd, ni = jax.lax.top_k(-dist, 2)
+        my = jax.lax.axis_index(axis)
+        gi = ni + my * shard_w
+        # gather candidates from every shard
+        all_d = jax.lax.all_gather(-nd, axis)   # (S,Q,2)
+        all_i = jax.lax.all_gather(gi, axis)
+        all_d = jnp.moveaxis(all_d, 0, 1).reshape(query.shape[0], -1)
+        all_i = jnp.moveaxis(all_i, 0, 1).reshape(query.shape[0], -1)
+        nd2, sel = jax.lax.top_k(-all_d, 2)
+        return -nd2, jnp.take_along_axis(all_i, sel, axis=1)
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(axis, None), P(axis)),
+        out_specs=(P(), P()),
+    )
+    return fn(query, slab, slab_valid)
+
+
+# ---------------------------------------------------------------- likelihood
+
+
+def sharded_tfidf(mesh: Mesh, query_words, node_words, node_valid, word_nw,
+                  n_places, vocab_cap: int, axis: str = "shard"):
+    """tf-idf likelihood with the node slab sharded over ``axis``.
+    Output is the full (N,) likelihood (gathered)."""
+
+    def local(qw, nwords, nvalid, nw_arr):
+        from rtabmap_tpu.vocab.dictionary import tfidf_likelihood
+
+        lik = tfidf_likelihood(qw, nwords, nvalid, nw_arr, n_places, vocab_cap)
+        return lik
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(axis, None), P(axis), P()),
+        out_specs=P(axis),
+    )
+    return fn(query_words, node_words, node_valid, word_nw)
+
+
+# ------------------------------------------------------------ pose-graph PCG
+
+
+def sharded_pcg_step(mesh: Mesh, poses, edges_from, edges_to, edges_meas,
+                     edges_info, edge_valid, root: int, damping: float = 1e-4,
+                     cg_iters: int = 32, axis: str = "shard"):
+    """One distributed Gauss-Newton step: edges sharded, poses replicated;
+    every edge-scatter becomes a psum over the mesh axis."""
+    from rtabmap_tpu.optim.pose_graph import _edge_residual_jac
+    from rtabmap_tpu.geometry import transform as T
+
+    N = poses.shape[0]
+
+    def local(poses, ef, et, meas, info, ev):
+        r, Ji, Jj = jax.vmap(_edge_residual_jac)(poses[ef], poses[et], meas)
+        info_w = info * ev[:, None, None]
+        root_mask = jnp.zeros((N,)).at[root].set(1.0)
+        fix_diag = root_mask * 1e8 + damping
+
+        def scatter(val_i, val_j):
+            out = jnp.zeros((N, 6))
+            out = out.at[ef].add(val_i).at[et].add(val_j)
+            return jax.lax.psum(out, axis)
+
+        oy = jnp.einsum("eij,ej->ei", info_w, r)
+        b = -scatter(jnp.einsum("eji,ej->ei", Ji, oy), jnp.einsum("eji,ej->ei", Jj, oy))
+
+        di = jnp.einsum("eki,ekl,eli->ei", Ji, info_w, Ji)
+        dj = jnp.einsum("eki,ekl,eli->ei", Jj, info_w, Jj)
+        diag = scatter(di, dj) + fix_diag[:, None] + 1e-8
+        Minv = 1.0 / diag
+
+        def hx(x):
+            yi = jnp.einsum("eij,ej->ei", Ji, x[ef]) + jnp.einsum("eij,ej->ei", Jj, x[et])
+            oy = jnp.einsum("eij,ej->ei", info_w, yi)
+            return scatter(jnp.einsum("eji,ej->ei", Ji, oy),
+                           jnp.einsum("eji,ej->ei", Jj, oy)) + fix_diag[:, None] * x
+
+        def cg_body(carry, _):
+            x, rr, p, rz = carry
+            Ap = hx(p)
+            alpha = rz / jnp.maximum(jnp.sum(p * Ap), 1e-12)
+            x = x + alpha * p
+            rr = rr - alpha * Ap
+            z = Minv * rr
+            rz_new = jnp.sum(rr * z)
+            beta = rz_new / jnp.maximum(rz, 1e-12)
+            return (x, rr, z + beta * p, rz_new), None
+
+        z0 = Minv * b
+        (dx, _, _, _), _ = jax.lax.scan(cg_body, (jnp.zeros((N, 6)), b, z0, jnp.sum(b * z0)),
+                                        None, length=cg_iters)
+        nrm = jnp.linalg.norm(dx, axis=-1, keepdims=True)
+        dx = dx * jnp.minimum(1.0, 1.0 / jnp.maximum(nrm, 1e-9))
+        return T.retract(poses, dx)
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P(axis, None, None),
+                  P(axis, None, None), P(axis)),
+        out_specs=P(),
+    )
+    return fn(poses, edges_from, edges_to, edges_meas, edges_info, edge_valid)

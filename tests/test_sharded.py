@@ -1,0 +1,70 @@
+"""Multi-device sharding on the virtual 8-CPU mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rtabmap_tpu.parallel import sharded as SH
+from rtabmap_tpu.ops import matching as M
+
+
+def test_sharded_knn_matches_single_device():
+    key = jax.random.PRNGKey(0)
+    W, Q = 1024, 64
+    slab = jnp.where(jax.random.bernoulli(key, 0.5, (W, 256)), 1, -1).astype(jnp.int8)
+    query = slab[jnp.arange(Q) * 3]  # exact copies -> distance 0 expected
+    valid = jnp.arange(W) < 900
+    mesh = SH.make_mesh(8)
+    d_sh, i_sh = SH.sharded_knn2(mesh, query, slab, valid)
+    d_ref, i_ref = M.knn_blocked(query, slab, k=2, block=256, base_valid=valid)
+    np.testing.assert_allclose(np.asarray(d_sh), np.asarray(d_ref), atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(i_sh[:, 0]), np.asarray(i_ref[:, 0]))
+
+
+def test_sharded_tfidf_matches_single_device():
+    from rtabmap_tpu.vocab.dictionary import tfidf_likelihood
+
+    W, N, K = 512, 64, 32
+    rng = np.random.RandomState(0)
+    node_words = rng.randint(-1, W, (N, K)).astype(np.int32)
+    node_valid = rng.rand(N) > 0.2
+    query = rng.randint(0, W, (K,)).astype(np.int32)
+    word_nw = rng.randint(0, 10, (W,)).astype(np.float32)
+    mesh = SH.make_mesh(8)
+    lik_sh = SH.sharded_tfidf(
+        mesh, jnp.asarray(query), jnp.asarray(node_words), jnp.asarray(node_valid),
+        jnp.asarray(word_nw), jnp.float32(N), W,
+    )
+    lik_ref = tfidf_likelihood(
+        jnp.asarray(query), jnp.asarray(node_words), jnp.asarray(node_valid),
+        jnp.asarray(word_nw), jnp.float32(N), W,
+    )
+    np.testing.assert_allclose(np.asarray(lik_sh), np.asarray(lik_ref), rtol=1e-5)
+
+
+import pytest
+
+
+@pytest.mark.slow
+def test_sharded_pcg_step_improves_chi2():
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_pose_graph import make_noisy_loop
+    from rtabmap_tpu.optim import pose_graph as PG
+
+    g, gt = make_noisy_loop(n=31)  # 31 edges + pad to 32
+    E = g.edges_from.shape[0]
+    pad = 32 - E
+    ef = jnp.concatenate([g.edges_from, jnp.zeros((pad,), jnp.int32)])
+    et = jnp.concatenate([g.edges_to, jnp.zeros((pad,), jnp.int32)])
+    meas = jnp.concatenate([g.edges_meas, jnp.tile(jnp.eye(3, 4)[None], (pad, 1, 1))])
+    info = jnp.concatenate([g.edges_info, jnp.tile(jnp.eye(6)[None], (pad, 1, 1))])
+    ev = jnp.concatenate([jnp.ones((E,)), jnp.zeros((pad,))])
+    mesh = SH.make_mesh(8)
+    poses = g.poses
+    chi0 = float(PG.graph_chi2(g))
+    step = jax.jit(lambda p: SH.sharded_pcg_step(mesh, p, ef, et, meas, info, ev,
+                                                 root=0, cg_iters=24))
+    for _ in range(3):
+        poses = step(poses)
+    chi1 = float(PG.graph_chi2(g._replace(poses=poses)))
+    assert chi1 < chi0 * 0.2, (chi0, chi1)
