@@ -93,6 +93,49 @@ class Rtabmap:
         self.stats_history: List[Statistics] = []
 
     # ------------------------------------------------------------------ utils
+    @classmethod
+    def load(cls, db, cam: C.CameraModel, params: Optional[Parameters] = None,
+             node_capacity: int = 1024, words_per_frame: int = 512,
+             new_session: bool = True, **kw) -> "Rtabmap":
+        """Resume from a map store (reference: Rtabmap::init on an existing
+        database, Memory::loadDataFromDb Memory.cpp:235 — last session
+        loaded into WM, vocabulary restored without rebuild, sessions
+        continue)."""
+        from rtabmap_tpu.vocab.dictionary import VWDictionary
+
+        admin = db.load_admin()
+        slam = cls(cam, params, db=db, node_capacity=node_capacity,
+                   words_per_frame=words_per_frame, **kw)
+        mem = slam.memory
+        if admin["vocab"] is not None:
+            v = admin["vocab"]
+            slab = np.zeros((v["capacity"], v["slab"].shape[1]), np.int8)
+            slab[: v["n_words"]] = v["slab"]
+            wv = np.zeros((v["capacity"],), bool)
+            wv[: v["n_words"]] = True
+            mem.vocab = VWDictionary.from_state({
+                "slab": slab, "word_valid": wv, "n_words": v["n_words"],
+                "nndr": v["nndr"], "incremental": v["incremental"],
+            })
+            mem.word_nw = jnp.zeros((mem.vocab.capacity,), jnp.float32)
+        # load ALL signatures as LTM records; page last session into WM
+        last_map = db.max_map_id()
+        for sid in db.all_node_ids():
+            sig = db.load_signature(sid)
+            if sig is not None:
+                mem.signatures[sid] = sig
+        last_ids = sorted(i for i, s in mem.signatures.items() if s.map_id == last_map)
+        budget = mem.node_capacity - mem.stm_size - 2
+        for sid in last_ids[-budget:]:
+            sig = mem.signatures[sid]
+            sig.in_ltm = False
+            mem._insert_slab(sig)
+            mem.wm.append(sid)
+        mem._next_id = db.max_node_id() + 1
+        mem._map_id = last_map + 1 if new_session else last_map
+        slam.optimized_poses = dict(admin["optimized_poses"])
+        return slam
+
     def _split_key(self):
         self._key, sub = jax.random.split(self._key)
         return sub
@@ -454,11 +497,14 @@ class Rtabmap:
         return self.memory.get_constraints(session_only=False)
 
     def close(self):
+        """Persist the full map state (the database IS the checkpoint —
+        reference: Memory::close + saveOptimizedPoses, Memory.cpp:2486)."""
         if self.memory.db is not None:
             for i in list(self.memory.wm) + list(self.memory.stm):
                 self.memory.db.save_signature(self.memory.get(i))
             self.memory.db.save_admin(
-                params=self.params.as_dict(),
+                params=self.params.overrides(),
                 optimized_poses=self.optimized_poses,
+                vocab=self.memory.vocab,
             )
             self.memory.db.flush()

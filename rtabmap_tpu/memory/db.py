@@ -1,0 +1,320 @@
+"""SQLite map store: persistence, checkpoint/resume, multi-session.
+
+Capability parity: the reference's ``DBDriver``/``DBDriverSqlite3``
+(/root/reference/corelib/src/DBDriverSqlite3.cpp; schema
+corelib/src/resources/DatabaseSchema.sql.in:16-130 — tables Node, Data,
+Link, Word, Feature, GlobalDescriptor, Info, Statistics, Admin) and its
+async writer thread (DBDriver.h:62 trash thread). The schema here keeps
+the same table roles with array columns stored as compressed blobs; a
+background writer thread drains a queue exactly like the reference's
+trash. A database fully describes a map: reopening resumes mapping
+(sessions continue) and the vocabulary is restored without a rebuild
+(parity with the saved-FLANN-index fast path, Memory.cpp:598).
+"""
+from __future__ import annotations
+
+import io
+import json
+import queue
+import sqlite3
+import threading
+import time
+import zlib
+from typing import Dict, List, Optional
+
+import numpy as np
+
+_SCHEMA = """
+CREATE TABLE IF NOT EXISTS Node (
+    id INTEGER PRIMARY KEY,
+    map_id INTEGER NOT NULL,
+    weight INTEGER DEFAULT 0,
+    stamp FLOAT DEFAULT 0,
+    pose BLOB,
+    label TEXT
+);
+CREATE TABLE IF NOT EXISTS Data (
+    id INTEGER PRIMARY KEY,
+    word_ids BLOB,
+    descriptors BLOB,
+    keypoints BLOB,
+    points3d BLOB,
+    valid3d BLOB,
+    image BLOB,
+    depth BLOB,
+    scan BLOB,
+    user_data BLOB,
+    calibration BLOB
+);
+CREATE TABLE IF NOT EXISTS Link (
+    from_id INTEGER NOT NULL,
+    to_id INTEGER NOT NULL,
+    type INTEGER NOT NULL,
+    transform BLOB,
+    information BLOB,
+    PRIMARY KEY (from_id, to_id, type)
+);
+CREATE TABLE IF NOT EXISTS Word (
+    id INTEGER PRIMARY KEY,
+    descriptor BLOB
+);
+CREATE TABLE IF NOT EXISTS Info (
+    STM_size INTEGER,
+    last_sign_added INTEGER,
+    process_mem_used INTEGER,
+    database_mem_used INTEGER,
+    dictionary_size INTEGER,
+    parameters TEXT,
+    time_enter DATE
+);
+CREATE TABLE IF NOT EXISTS Statistics (
+    id INTEGER,
+    stamp FLOAT,
+    data TEXT
+);
+CREATE TABLE IF NOT EXISTS Admin (
+    version TEXT,
+    opt_poses BLOB,
+    opt_ids BLOB,
+    vocab_slab BLOB,
+    vocab_meta TEXT,
+    time_enter DATE
+);
+"""
+
+
+def _pack(arr: Optional[np.ndarray]) -> Optional[bytes]:
+    if arr is None:
+        return None
+    buf = io.BytesIO()
+    np.save(buf, np.asarray(arr), allow_pickle=False)
+    return zlib.compress(buf.getvalue(), 1)
+
+
+def _unpack(blob) -> Optional[np.ndarray]:
+    if blob is None:
+        return None
+    return np.load(io.BytesIO(zlib.decompress(blob)), allow_pickle=False)
+
+
+class Database:
+    """Threaded SQLite map store (async writes, sync reads)."""
+
+    VERSION = "rtabmap_tpu-0.1"
+
+    def __init__(self, path: str = ":memory:", async_writes: bool = True):
+        self.path = path
+        self._conn = sqlite3.connect(path, check_same_thread=False)
+        self._conn.executescript(_SCHEMA)
+        self._conn.commit()
+        self._lock = threading.Lock()
+        self._q: "queue.Queue" = queue.Queue()
+        self._async = async_writes
+        self._stop = False
+        if async_writes:
+            self._thread = threading.Thread(target=self._writer_loop, daemon=True)
+            self._thread.start()
+
+    # ----------------------------------------------------------- writer thread
+    def _writer_loop(self):
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            fn, args = item
+            try:
+                fn(*args)
+            except Exception as e:  # pragma: no cover
+                import sys
+                print(f"db writer error: {e}", file=sys.stderr)
+
+    def _submit(self, fn, *args):
+        if self._async and not self._stop:
+            self._q.put((fn, args))
+        else:
+            fn(*args)
+
+    def flush(self):
+        """Join pending writes (reference: joining the trash thread before
+        retrieval, Rtabmap.cpp:2240)."""
+        if self._async:
+            done = threading.Event()
+            self._q.put((lambda: done.set(), ()))
+            done.wait()
+
+    def close(self):
+        self.flush()
+        self._stop = True
+        if self._async:
+            self._q.put(None)
+            self._thread.join(timeout=5)
+        with self._lock:
+            self._conn.commit()
+            self._conn.close()
+
+    # -------------------------------------------------------------- signatures
+    def save_signature(self, sig) -> None:
+        self._submit(self._save_signature_now, self._sig_row(sig))
+
+    @staticmethod
+    def _sig_row(sig):
+        links = [
+            (lk.from_id, lk.to_id, lk.type, _pack(lk.transform), _pack(lk.information))
+            for lk in sig.links.values()
+        ]
+        return {
+            "id": sig.id, "map_id": sig.map_id, "weight": sig.weight,
+            "stamp": sig.stamp, "pose": _pack(sig.pose), "label": sig.label,
+            "word_ids": _pack(sig.word_ids), "descriptors": _pack(sig.desc),
+            "keypoints": _pack(sig.uv), "points3d": _pack(sig.pts3d),
+            "valid3d": _pack(sig.valid3d), "links": links,
+        }
+
+    def _save_signature_now(self, row):
+        with self._lock:
+            self._conn.execute(
+                "INSERT OR REPLACE INTO Node (id,map_id,weight,stamp,pose,label)"
+                " VALUES (?,?,?,?,?,?)",
+                (row["id"], row["map_id"], row["weight"], row["stamp"],
+                 row["pose"], row["label"]),
+            )
+            self._conn.execute(
+                "INSERT OR REPLACE INTO Data"
+                " (id,word_ids,descriptors,keypoints,points3d,valid3d)"
+                " VALUES (?,?,?,?,?,?)",
+                (row["id"], row["word_ids"], row["descriptors"],
+                 row["keypoints"], row["points3d"], row["valid3d"]),
+            )
+            for f, t, ty, tr, inf in row["links"]:
+                self._conn.execute(
+                    "INSERT OR REPLACE INTO Link (from_id,to_id,type,transform,information)"
+                    " VALUES (?,?,?,?,?)", (f, t, ty, tr, inf),
+                )
+            self._conn.commit()
+
+    def load_signature(self, sid: int):
+        from rtabmap_tpu.memory.memory import Link, Signature
+
+        with self._lock:
+            node = self._conn.execute(
+                "SELECT id,map_id,weight,stamp,pose,label FROM Node WHERE id=?", (sid,)
+            ).fetchone()
+            if node is None:
+                return None
+            data = self._conn.execute(
+                "SELECT word_ids,descriptors,keypoints,points3d,valid3d"
+                " FROM Data WHERE id=?", (sid,)
+            ).fetchone()
+            links = self._conn.execute(
+                "SELECT from_id,to_id,type,transform,information FROM Link"
+                " WHERE from_id=?", (sid,)
+            ).fetchall()
+        sig = Signature(
+            id=node[0], map_id=node[1], weight=node[2], stamp=node[3],
+            pose=_unpack(node[4]), label=node[5] or "",
+        )
+        if data is not None:
+            sig.word_ids = _unpack(data[0])
+            sig.desc = _unpack(data[1])
+            sig.uv = _unpack(data[2])
+            sig.pts3d = _unpack(data[3])
+            sig.valid3d = _unpack(data[4])
+        for f, t, ty, tr, inf in links:
+            sig.links[t] = Link(f, t, ty, _unpack(tr), _unpack(inf))
+        sig.in_ltm = True
+        return sig
+
+    def all_node_ids(self) -> List[int]:
+        with self._lock:
+            return [r[0] for r in self._conn.execute("SELECT id FROM Node ORDER BY id")]
+
+    def all_links(self):
+        from rtabmap_tpu.memory.memory import Link
+
+        with self._lock:
+            rows = self._conn.execute(
+                "SELECT from_id,to_id,type,transform,information FROM Link"
+            ).fetchall()
+        return [Link(f, t, ty, _unpack(tr), _unpack(inf)) for f, t, ty, tr, inf in rows]
+
+    # ------------------------------------------------------------- statistics
+    def save_statistics(self, node_id: int, stamp: float, data: Dict[str, float]):
+        self._submit(self._save_stats_now, node_id, stamp, json.dumps(data))
+
+    def _save_stats_now(self, node_id, stamp, blob):
+        with self._lock:
+            self._conn.execute(
+                "INSERT INTO Statistics (id,stamp,data) VALUES (?,?,?)",
+                (node_id, stamp, blob),
+            )
+            self._conn.commit()
+
+    def load_statistics(self) -> List[Dict]:
+        with self._lock:
+            rows = self._conn.execute("SELECT id,stamp,data FROM Statistics ORDER BY id").fetchall()
+        return [{"id": r[0], "stamp": r[1], **json.loads(r[2])} for r in rows]
+
+    # ------------------------------------------------------------------ admin
+    def save_admin(self, params: Optional[Dict] = None,
+                   optimized_poses: Optional[Dict[int, np.ndarray]] = None,
+                   vocab=None):
+        self.flush()
+        opt_ids = opt_poses = None
+        if optimized_poses:
+            ids = sorted(optimized_poses)
+            opt_ids = _pack(np.asarray(ids, np.int64))
+            opt_poses = _pack(np.stack([optimized_poses[i] for i in ids]))
+        vocab_slab = vocab_meta = None
+        if vocab is not None:
+            st = vocab.state_dict()
+            vocab_slab = _pack(st["slab"][: st["n_words"]])
+            vocab_meta = json.dumps({
+                "n_words": st["n_words"], "nndr": st["nndr"],
+                "incremental": st["incremental"],
+                "capacity": st["slab"].shape[0],
+            })
+        with self._lock:
+            self._conn.execute("DELETE FROM Admin")
+            self._conn.execute(
+                "INSERT INTO Admin (version,opt_poses,opt_ids,vocab_slab,vocab_meta,time_enter)"
+                " VALUES (?,?,?,?,?,datetime('now'))",
+                (self.VERSION, opt_poses, opt_ids, vocab_slab, vocab_meta),
+            )
+            if params is not None:
+                self._conn.execute("DELETE FROM Info")
+                self._conn.execute(
+                    "INSERT INTO Info (parameters,time_enter) VALUES (?,datetime('now'))",
+                    (json.dumps(params),),
+                )
+            self._conn.commit()
+
+    def load_admin(self):
+        with self._lock:
+            row = self._conn.execute(
+                "SELECT version,opt_poses,opt_ids,vocab_slab,vocab_meta FROM Admin"
+            ).fetchone()
+            info = self._conn.execute("SELECT parameters FROM Info").fetchone()
+        out = {"version": None, "optimized_poses": {}, "vocab": None, "parameters": {}}
+        if row is not None:
+            out["version"] = row[0]
+            if row[1] is not None and row[2] is not None:
+                poses = _unpack(row[1])
+                ids = _unpack(row[2])
+                out["optimized_poses"] = {int(i): poses[k] for k, i in enumerate(ids)}
+            if row[3] is not None:
+                meta = json.loads(row[4])
+                slab = _unpack(row[3])
+                out["vocab"] = {"slab": slab, **meta}
+        if info is not None and info[0]:
+            out["parameters"] = json.loads(info[0])
+        return out
+
+    def max_node_id(self) -> int:
+        with self._lock:
+            r = self._conn.execute("SELECT MAX(id) FROM Node").fetchone()
+        return int(r[0]) if r and r[0] else 0
+
+    def max_map_id(self) -> int:
+        with self._lock:
+            r = self._conn.execute("SELECT MAX(map_id) FROM Node").fetchone()
+        return int(r[0]) if r and r[0] is not None else -1

@@ -1,0 +1,93 @@
+"""Map store persistence: checkpoint/resume + multi-session linking."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rtabmap_tpu.geometry import camera as C
+from rtabmap_tpu.datasets import synthetic as S
+from rtabmap_tpu.core.frame import extract_features
+from rtabmap_tpu.engine.rtabmap import Rtabmap
+from rtabmap_tpu.memory.db import Database
+from rtabmap_tpu.utils.params import Parameters
+
+CAM = C.CameraModel.make(300.0, 300.0, 160.0, 120.0, 320, 240)
+
+
+def test_db_signature_roundtrip(tmp_path):
+    from rtabmap_tpu.memory.memory import Link, Signature
+
+    path = str(tmp_path / "m.db")
+    db = Database(path)
+    sig = Signature(
+        id=3, map_id=1, stamp=2.5, pose=np.eye(3, 4, dtype=np.float32), weight=7,
+        word_ids=np.array([1, 2, -1], np.int32),
+        desc=np.ones((3, 256), np.int8),
+        uv=np.zeros((3, 2), np.float32),
+        pts3d=np.ones((3, 3), np.float32),
+        valid3d=np.array([True, False, True]),
+        label="kitchen",
+    )
+    sig.links[4] = Link(3, 4, 0, np.eye(3, 4, dtype=np.float32), np.eye(6, dtype=np.float32))
+    db.save_signature(sig)
+    db.save_statistics(3, 2.5, {"Timing/Total/ms": 12.0})
+    db.flush()
+    db.close()
+
+    db2 = Database(path)
+    got = db2.load_signature(3)
+    assert got.weight == 7 and got.map_id == 1 and got.label == "kitchen"
+    np.testing.assert_array_equal(got.word_ids, sig.word_ids)
+    assert 4 in got.links and got.links[4].type == 0
+    stats = db2.load_statistics()
+    assert stats[0]["Timing/Total/ms"] == 12.0
+    db2.close()
+
+
+@pytest.mark.slow
+def test_checkpoint_resume_multisession(tmp_path):
+    """Map a half-loop, close, reopen, map the overlapping half: the new
+    session must link to the old one via loop closure (reference
+    multi-session semantics, SURVEY.md §5.4)."""
+    path = str(tmp_path / "map.db")
+    poses_gt = S.loop_trajectory(48)
+    extract = jax.jit(lambda g, d: extract_features(g, d, CAM, 384))
+
+    db = Database(path)
+    slam = Rtabmap(CAM, Parameters(), db=db, node_capacity=128, words_per_frame=384)
+    for i in range(20):
+        g, d = S.render(poses_gt[i], CAM)
+        slam.process(extract(g, d), np.asarray(poses_gt[i]), np.eye(6) * 1e-4,
+                     stamp=float(i))
+    n_words_1 = slam.memory.vocab.n_words
+    slam.close()
+    db.close()
+
+    db2 = Database(path)
+    slam2 = Rtabmap.load(db2, CAM, Parameters(), node_capacity=128, words_per_frame=384)
+    assert slam2.memory.vocab.n_words == n_words_1
+    assert len(slam2.memory.wm) == 20
+    assert slam2.memory.map_id == 1  # new session
+
+    # second session revisits frames 10..19 (same viewpoints)
+    session_links = 0
+    for i in range(10, 20):
+        g, d = S.render(poses_gt[i], CAM)
+        st = slam2.process(extract(g, d), np.asarray(poses_gt[i]), np.eye(6) * 1e-4,
+                           stamp=float(100 + i))
+        if st.loop_closure_id or st.get("Proximity/Space links added/", 0):
+            session_links += 1
+    assert session_links >= 1, "sessions never linked"
+    # inter-session link exists: a new-session node linked to an old-session node
+    found = False
+    for sid, s in slam2.memory.signatures.items():
+        if s.map_id == 1:
+            for j in s.links:
+                o = slam2.memory.get(j)
+                if o is not None and o.map_id == 0:
+                    found = True
+    assert found
+    slam2.close()
+    db2.close()
