@@ -229,7 +229,15 @@ class Rtabmap:
 
         # --- G. loop-closure transform
         links_added: List[Link] = []
-        if accepted_id > 0:
+        if accepted_id > 0 and not self.rgbd_mode:
+            # appearance-only mode (RGBD/Enabled=false): the hypothesis IS
+            # the loop closure — no metric transform computed (reference
+            # appearance-only pipeline, e.g. the BOWMapping example)
+            self.loop_closure_id = accepted_id
+            lk = Link(accepted_id, sig.id, LINK_GLOBAL_CLOSURE,
+                      np.asarray(T.identity()), np.eye(6, dtype=np.float32))
+            self.memory.add_link(lk)
+        elif accepted_id > 0:
             with st.time_stage("Timing/Add loop closure link/ms"):
                 t_ab, lc_cov, inliers = self.memory.compute_transform(
                     accepted_id, sig.id, self.cam, self._split_key(),
