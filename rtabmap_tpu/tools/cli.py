@@ -1,0 +1,219 @@
+"""CLI tools: dataset benchmarks, info, report, reprocess, export.
+
+Capability parity: the reference's tool suite (/root/reference/tools/ —
+RgbdDataset, KittiDataset, EurocDataset, Info, Report, Reprocess,
+Export). Invoke as ``python -m rtabmap_tpu.tools.cli <tool> [args...]``.
+"""
+from __future__ import annotations
+
+import json
+import sys
+from typing import List, Optional
+
+import numpy as np
+
+
+def tool_rgbd_dataset(argv: List[str]):
+    """TUM RGB-D benchmark (reference: tools/RgbdDataset/main.cpp)."""
+    from rtabmap_tpu.datasets.readers import TumRgbdDataset
+    from rtabmap_tpu.memory.db import Database
+    from rtabmap_tpu.tools.dataset_runner import run_dataset
+    from rtabmap_tpu.utils.params import Parameters
+
+    params, rest = Parameters.parse_arguments(argv)
+    root = rest[0]
+    out_db = rest[1] if len(rest) > 1 else None
+    max_frames = int(rest[2]) if len(rest) > 2 else 0
+    ds = TumRgbdDataset(root)
+    db = Database(out_db) if out_db else None
+    out = run_dataset(iter(ds), ds.camera, params, db=db, max_frames=max_frames)
+    if "ate_slam" in out:
+        print(f"ATE RMSE (slam): {out['ate_slam']:.4f} m")
+        print(f"ATE RMSE (odom): {out['ate_odom']:.4f} m")
+    if db:
+        out["slam"].close()
+        db.close()
+    return out
+
+
+def tool_kitti_dataset(argv: List[str]):
+    """KITTI odometry benchmark (reference: tools/KittiDataset/main.cpp)."""
+    from rtabmap_tpu.datasets.readers import KittiDataset
+    from rtabmap_tpu.memory.db import Database
+    from rtabmap_tpu.tools.dataset_runner import run_dataset
+    from rtabmap_tpu.utils.params import Parameters
+
+    params, rest = Parameters.parse_arguments(argv)
+    seq_dir = rest[0]
+    poses_file = rest[1] if len(rest) > 1 else None
+    out_db = rest[2] if len(rest) > 2 else None
+    max_frames = int(rest[3]) if len(rest) > 3 else 0
+    ds = KittiDataset(seq_dir, poses_file)
+    db = Database(out_db) if out_db else None
+    out = run_dataset(iter(ds), ds.camera, params, stereo_model=ds.stereo,
+                      db=db, max_frames=max_frames, kitti_errors=True)
+    if "kitti_t_err_pct" in out:
+        print(f"KITTI t_err: {out['kitti_t_err_pct']:.2f}%  "
+              f"r_err: {out['kitti_r_err_deg_per_m']:.4f} deg/m")
+    if db:
+        out["slam"].close()
+        db.close()
+    return out
+
+
+def tool_euroc_dataset(argv: List[str]):
+    """EuRoC benchmark (reference: tools/EurocDataset/main.cpp)."""
+    from rtabmap_tpu.datasets.readers import EurocDataset
+    from rtabmap_tpu.memory.db import Database
+    from rtabmap_tpu.tools.dataset_runner import run_dataset
+    from rtabmap_tpu.utils.params import Parameters
+
+    params, rest = Parameters.parse_arguments(argv)
+    root = rest[0]
+    out_db = rest[1] if len(rest) > 1 else None
+    max_frames = int(rest[2]) if len(rest) > 2 else 0
+    ds = EurocDataset(root)
+    db = Database(out_db) if out_db else None
+    out = run_dataset(iter(ds), ds.camera, params, stereo_model=ds.stereo,
+                      db=db, max_frames=max_frames)
+    if "ate_slam" in out:
+        print(f"ATE RMSE (slam): {out['ate_slam']:.4f} m")
+    if db:
+        out["slam"].close()
+        db.close()
+    return out
+
+
+def tool_info(argv: List[str]):
+    """Map store summary (reference: tools/Info/main.cpp)."""
+    from rtabmap_tpu.memory.db import Database
+
+    db = Database(argv[0], async_writes=False)
+    ids = db.all_node_ids()
+    links = db.all_links()
+    admin = db.load_admin()
+    by_type = {}
+    for lk in links:
+        by_type[lk.type] = by_type.get(lk.type, 0) + 1
+    info = {
+        "path": argv[0], "version": admin["version"],
+        "nodes": len(ids), "sessions": db.max_map_id() + 1,
+        "links": len(links), "links_by_type": by_type,
+        "optimized_poses": len(admin["optimized_poses"]),
+        "vocabulary_words": admin["vocab"]["n_words"] if admin["vocab"] else 0,
+        "parameters": len(admin["parameters"]),
+    }
+    print(json.dumps(info, indent=2))
+    db.close()
+    return info
+
+
+def tool_report(argv: List[str]):
+    """Statistics report from map stores (reference: tools/Report/main.cpp)."""
+    from rtabmap_tpu.memory.db import Database
+
+    for path in argv:
+        db = Database(path, async_writes=False)
+        stats = db.load_statistics()
+        db.close()
+        if not stats:
+            print(f"{path}: no statistics")
+            continue
+        keys = sorted({k for s in stats for k in s if k not in ("id", "stamp")})
+        print(f"\n=== {path} ({len(stats)} ticks) ===")
+        for k in keys:
+            vals = np.asarray([s[k] for s in stats if k in s])
+            print(f"  {k}: mean={vals.mean():.3f} max={vals.max():.3f}")
+    return None
+
+
+def tool_reprocess(argv: List[str]):
+    """Re-run SLAM from a recorded map store with (possibly different)
+    parameters (reference: tools/Reprocess/main.cpp — the regression
+    harness)."""
+    from rtabmap_tpu.core.frame import FrameFeatures
+    from rtabmap_tpu.engine.rtabmap import Rtabmap
+    from rtabmap_tpu.geometry import camera as C
+    from rtabmap_tpu.memory.db import Database
+    from rtabmap_tpu.utils.params import Parameters
+
+    params, rest = Parameters.parse_arguments(argv)
+    in_path = rest[0]
+    out_path = rest[1] if len(rest) > 1 else None
+
+    src = Database(in_path, async_writes=False)
+    admin = src.load_admin()
+    stored = admin["parameters"]
+    cam_vals = stored.get("__camera__")
+    merged = Parameters()
+    for k, v in stored.items():
+        if merged.exists(k):
+            merged.set(k, v)
+    merged.update(params.overrides())
+    if cam_vals:
+        cam = C.CameraModel.make(*cam_vals)
+    else:
+        cam = C.CameraModel.make(300.0, 300.0, 160.0, 120.0, 320, 240)
+
+    out_db = Database(out_path) if out_path else None
+    slam = Rtabmap(cam, merged, db=out_db)
+    n = 0
+    for sid in src.all_node_ids():
+        sig = src.load_signature(sid)
+        if sig is None or sig.word_ids is None:
+            continue
+        frame = FrameFeatures(
+            uv=sig.uv, desc=sig.desc, pts3d=sig.pts3d,
+            valid=(sig.word_ids >= 0) | (np.abs(sig.desc).sum(-1) > 0),
+            valid3d=sig.valid3d, angle=np.zeros(len(sig.uv), np.float32),
+            response=np.zeros(len(sig.uv), np.float32),
+        )
+        slam.process(frame, sig.pose, np.eye(6) * 1e-4, stamp=sig.stamp)
+        n += 1
+    print(f"reprocessed {n} nodes; loops in new run: "
+          f"{sum(1 for s in slam.stats_history if s.loop_closure_id)}")
+    if out_db:
+        slam.close()
+        out_db.close()
+    src.close()
+    return slam
+
+
+def tool_export(argv: List[str]):
+    """Export optimized poses from a map store
+    (reference: rtabmap-export / exportPoses)."""
+    from rtabmap_tpu.memory.db import Database
+    from rtabmap_tpu.tools.export_poses import export_poses
+
+    db_path, out_path = argv[0], argv[1]
+    fmt = int(argv[2]) if len(argv) > 2 else 2
+    db = Database(db_path, async_writes=False)
+    admin = db.load_admin()
+    links = db.all_links()
+    export_poses(out_path, fmt, admin["optimized_poses"], links=links)
+    print(f"exported {len(admin['optimized_poses'])} poses (format {fmt}) -> {out_path}")
+    db.close()
+
+
+TOOLS = {
+    "rgbd_dataset": tool_rgbd_dataset,
+    "kitti_dataset": tool_kitti_dataset,
+    "euroc_dataset": tool_euroc_dataset,
+    "info": tool_info,
+    "report": tool_report,
+    "reprocess": tool_reprocess,
+    "export": tool_export,
+}
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    if not argv or argv[0] not in TOOLS:
+        print("usage: python -m rtabmap_tpu.tools.cli <tool> [args...]\n"
+              f"tools: {', '.join(sorted(TOOLS))}")
+        return 1
+    return TOOLS[argv[0]](argv[1:])
+
+
+if __name__ == "__main__":
+    sys.exit(main() or 0)

@@ -1,0 +1,105 @@
+"""Shared dataset benchmark loop: camera stream -> odometry -> SLAM -> ATE.
+
+Capability parity: the reference's dataset tools' main loops
+(/root/reference/tools/RgbdDataset/main.cpp:276-330 — postUpdate,
+odometry, covariance>=9999 triggers new map, detection-rate gate,
+end-of-run `graph::calcRMSE`; KittiDataset adds calcKittiSequenceErrors).
+"""
+from __future__ import annotations
+
+import time
+from typing import Dict, Iterable, Optional
+
+import numpy as np
+
+
+def run_dataset(frames: Iterable, camera, params=None, stereo_model=None,
+                max_kp: int = 512, node_capacity: int = 1024,
+                db=None, verbose: bool = True,
+                max_frames: int = 0, kitti_errors: bool = False) -> Dict:
+    """Run odometry+SLAM over frames; returns metrics + trajectories."""
+    import jax
+    import jax.numpy as jnp
+
+    from rtabmap_tpu.core.frame import FrameFeatures, extract_features
+    from rtabmap_tpu.engine.rtabmap import Rtabmap
+    from rtabmap_tpu.odometry.f2m import OdometryF2M
+    from rtabmap_tpu.ops import features as F, stereo as ST
+    from rtabmap_tpu.utils import metrics
+    from rtabmap_tpu.utils.params import Parameters
+
+    p = params or Parameters()
+    odom = OdometryF2M(camera, p)
+    slam = Rtabmap(camera, p, db=db, node_capacity=node_capacity,
+                   words_per_frame=max_kp)
+
+    extract_rgbd = jax.jit(lambda g, d: extract_features(g, d, camera, max_kp))
+
+    def extract_stereo_fn(gl, gr):
+        kps, desc = F.detect_and_describe(gl, max_kp)
+        pts, ok = ST.keypoints_3d_from_stereo(kps.uv, kps.valid, gl, gr, stereo_model)
+        return FrameFeatures(uv=kps.uv, desc=desc, pts3d=pts, valid=kps.valid,
+                             valid3d=ok, angle=kps.angle, response=kps.response)
+
+    extract_stereo = jax.jit(extract_stereo_fn)
+
+    est_odom, est_stamps, gt_poses = [], [], []
+    n_loops = n_lost = 0
+    t0 = time.time()
+    for i, fr in enumerate(frames):
+        if max_frames and i >= max_frames:
+            break
+        gray = jnp.asarray(fr.gray)
+        if fr.depth is not None:
+            feat = extract_rgbd(gray, jnp.asarray(fr.depth))
+        elif fr.right is not None:
+            feat = extract_stereo(gray, jnp.asarray(fr.right))
+        else:
+            raise ValueError("frame has neither depth nor right image")
+        pose, cov, info = odom.process(feat)
+        if pose is None:
+            n_lost += 1
+            pose, cov = odom.pose, np.eye(6) * 9999.0
+        st = slam.process(feat, np.asarray(pose), np.asarray(cov), stamp=fr.stamp)
+        n_loops += int(st.loop_closure_id > 0)
+        est_odom.append(np.asarray(pose))
+        est_stamps.append(fr.stamp)
+        gt_poses.append(fr.gt_pose)
+        if verbose and (i + 1) % 50 == 0:
+            print(f"frame {i+1}: odom inliers={info['inliers']} loops={n_loops} "
+                  f"wm={int(st.get('Memory/Working memory size/'))} "
+                  f"({(i+1)/(time.time()-t0):.1f} fps)")
+
+    elapsed = time.time() - t0
+    opt = slam.get_optimized_poses()
+    ids = sorted(opt)
+    est_slam = np.stack([opt[i] for i in ids]) if ids else np.zeros((0, 3, 4))
+
+    out = {
+        "frames": len(est_odom), "elapsed_s": elapsed,
+        "fps": len(est_odom) / max(elapsed, 1e-9),
+        "loops": n_loops, "lost": n_lost,
+        "est_odom": np.stack(est_odom) if est_odom else np.zeros((0, 3, 4)),
+        "est_slam": est_slam, "stamps": est_stamps,
+        "slam": slam, "odom": odom,
+    }
+    have_gt = [k for k, g in enumerate(gt_poses) if g is not None]
+    if len(have_gt) >= 5:
+        gt = np.stack([gt_poses[k] for k in have_gt])
+        eo = out["est_odom"][have_gt]
+        es = est_slam[have_gt] if est_slam.shape[0] == len(est_odom) else None
+        out["ate_odom"] = metrics.ate_rmse(eo, gt)
+        if es is not None:
+            out["ate_slam"] = metrics.ate_rmse(es, gt)
+        if kitti_errors:
+            src = es if es is not None else eo
+            t_err, r_err = metrics.kitti_sequence_errors(src, gt)
+            out["kitti_t_err_pct"] = t_err
+            out["kitti_r_err_deg_per_m"] = r_err
+    if verbose:
+        msg = f"done: {out['frames']} frames in {elapsed:.1f}s ({out['fps']:.2f} fps), " \
+              f"{n_loops} loops, {n_lost} lost"
+        if "ate_slam" in out:
+            msg += f", ATE slam={out['ate_slam']:.4f} odom={out['ate_odom']:.4f}"
+        print(msg)
+    return out
