@@ -128,10 +128,15 @@ class OccupancyGrid:
     FREE_DEC = 0.7  # sigmoid(-0.7)=0.33 < free threshold after one hit
     CLAMP = 4.0
 
-    def __init__(self, cell_size: float = 0.05, size_m: float = 40.0):
+    def __init__(self, cell_size: float = 0.05, size_m: float = 40.0,
+                 up_axis: int = 2):
+        """``up_axis``: which WORLD axis is vertical (default z). The grid
+        lives in the plane of the two remaining axes; ``pose`` passed to
+        update/assemble must be the node's BASE pose (x fwd, z up locally)."""
         self.cell = cell_size
         self.n = int(size_m / cell_size)
         self.origin = -size_m / 2.0
+        self.plane = tuple(a for a in (0, 1, 2) if a != up_axis)
         self.logodds = jnp.zeros((self.n, self.n), jnp.float32)
         self.cache: Dict[int, LocalGrid] = {}
         self.poses: Dict[int, np.ndarray] = {}
@@ -139,7 +144,8 @@ class OccupancyGrid:
     def _to_cells(self, pose, xy, valid):
         P = jnp.asarray(pose)
         pts3 = jnp.concatenate([xy, jnp.zeros((xy.shape[0], 1))], axis=-1)
-        world = T.apply(P[None], pts3[None])[0][:, :2]
+        world3 = T.apply(P[None], pts3[None])[0]
+        world = world3[:, jnp.asarray(self.plane)]
         cx = jnp.floor((world[:, 0] - self.origin) / self.cell).astype(jnp.int32)
         cy = jnp.floor((world[:, 1] - self.origin) / self.cell).astype(jnp.int32)
         ok = valid & (cx >= 0) & (cx < self.n) & (cy >= 0) & (cy < self.n)

@@ -76,13 +76,18 @@ def test_normals_on_plane():
 def test_local_grid_and_occupancy():
     from rtabmap_tpu.maps import grids as G
 
-    pose = S.loop_trajectory(64)[0]
-    gray, depth = S.render(pose, CAM)
+    cam_pose = S.loop_trajectory(64)[0]
+    gray, depth = S.render(cam_pose, CAM)
     lg = G.local_grid_from_depth(depth, CAM, cell_size=0.1)
     assert int(lg.obstacles_valid.sum()) > 50
     assert int(lg.empty_valid.sum()) > 100
 
-    occ = G.OccupancyGrid(cell_size=0.1, size_m=20.0)
+    # the grid expects BASE poses; synthetic world is y-up
+    base_T_cam = jnp.asarray(
+        [[0.0, 0.0, 1.0, 0.0], [-1.0, 0.0, 0.0, 0.0], [0.0, -1.0, 0.0, 0.0]],
+        jnp.float32)
+    pose = np.asarray(T.compose(cam_pose, T.inverse(base_T_cam)))
+    occ = G.OccupancyGrid(cell_size=0.1, size_m=20.0, up_axis=1)
     occ.update(1, np.asarray(pose), lg)
     m = occ.to_occupancy()
     assert (m == 100).sum() > 20      # some occupied
@@ -90,7 +95,7 @@ def test_local_grid_and_occupancy():
     assert (m == -1).sum() > m.size // 2  # mostly unknown
 
     # re-assembly at a shifted pose moves cells without duplication
-    shifted = np.asarray(T.compose(T.from_xyzrpy(jnp.array([1.0, 0, 0, 0, 0, 0])), pose))
+    shifted = np.asarray(T.compose(T.from_xyzrpy(jnp.array([1.0, 0, 0, 0, 0, 0])), jnp.asarray(pose)))
     occ.assemble({1: shifted})
     m2 = occ.to_occupancy()
     assert abs(int((m2 == 100).sum()) - int((m == 100).sum())) < max(60, (m == 100).sum())
