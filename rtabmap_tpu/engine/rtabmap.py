@@ -31,7 +31,7 @@ from rtabmap_tpu.geometry import camera as C
 from rtabmap_tpu.geometry import transform as T
 from rtabmap_tpu.memory.memory import (
     LINK_GLOBAL_CLOSURE, LINK_LOCAL_SPACE_CLOSURE, LINK_NEIGHBOR,
-    Link, Memory, Signature,
+    LINK_USER_CLOSURE, Link, Memory, Signature,
 )
 from rtabmap_tpu.optim import pose_graph as PG
 from rtabmap_tpu.utils.logging import Statistics, Timer, get_logger
@@ -496,6 +496,177 @@ class Rtabmap:
         for i in ids:
             self.memory.move_to_ltm(i)
         st.add("Memory/Transferred/", len(ids))
+
+    # ------------------------------------------------------- maintenance ops
+    def detect_more_loop_closures(self, cluster_radius: float = 1.0,
+                                  cluster_angle: float = 0.0,
+                                  iterations: int = 1) -> int:
+        """Offline: exhaustively try closures between nearby nodes and
+        re-optimize (reference: Rtabmap::detectMoreLoopClosures
+        Rtabmap.cpp:6026 / rtabmap-detectMoreLoopClosures tool)."""
+        from rtabmap_tpu.utils import graph as G
+
+        added_total = 0
+        for _ in range(iterations):
+            added = 0
+            ids = [i for i in (self.memory.wm + self.memory.stm)
+                   if self.memory.get(i) is not None]
+            poses = {i: self.optimized_poses.get(i, self.memory.get(i).pose)
+                     for i in ids}
+            for i in ids:
+                near = G.find_nearest_nodes(poses[i], poses, radius=cluster_radius,
+                                            angle=cluster_angle)
+                for j, _d in near:
+                    if j <= i or j in self.memory.get(i).links:
+                        continue
+                    guess = np.asarray(T.relative(jnp.asarray(poses[i]),
+                                                  jnp.asarray(poses[j])))
+                    t_ab, cov, inl = self.memory.compute_transform(
+                        i, j, self.cam, self._split_key(), guess=guess,
+                        min_inliers=self.min_inliers)
+                    if t_ab is None:
+                        continue
+                    # each closure is gated individually (reference gates
+                    # per accepted closure, not per batch)
+                    lk = Link(i, j, LINK_USER_CLOSURE, t_ab, info_from_cov(cov))
+                    self.memory.add_link(lk)
+                    st = Statistics()
+                    self._optimize(st, [lk])
+                    if st.get("Loop/Rejected by optimization/"):
+                        continue
+                    added += 1
+            added_total += added
+            if not added:
+                break
+        return added_total
+
+    def refine_links(self) -> int:
+        """Re-register every existing link and update its transform
+        (reference: Rtabmap::refineLinks Rtabmap.cpp:6490)."""
+        refined = 0
+        seen = set()
+        for sid in list(self.memory.signatures):
+            sig = self.memory.get(sid)
+            if sig is None or sig.desc is None:
+                continue
+            for j, lk in list(sig.links.items()):
+                if (j, sid) in seen or (sid, j) in seen:
+                    continue
+                seen.add((sid, j))
+                other = self.memory.get(j)
+                if other is None or other.desc is None:
+                    continue
+                t_ab, cov, inl = self.memory.compute_transform(
+                    lk.from_id, lk.to_id, self.cam, self._split_key(),
+                    guess=lk.transform, min_inliers=self.min_inliers)
+                if t_ab is not None:
+                    new = Link(lk.from_id, lk.to_id, lk.type, t_ab, info_from_cov(cov))
+                    self.memory.add_link(new)
+                    refined += 1
+        if refined:
+            self._optimize(Statistics(), [])
+        return refined
+
+    def add_user_link(self, from_id: int, to_id: int, transform=None) -> bool:
+        """User-provided closure (reference: Rtabmap::addLink)."""
+        if transform is None:
+            t_ab, cov, _ = self.memory.compute_transform(
+                from_id, to_id, self.cam, self._split_key(),
+                min_inliers=self.min_inliers)
+            if t_ab is None:
+                return False
+            info = info_from_cov(cov)
+        else:
+            t_ab = np.asarray(transform, np.float32)
+            info = np.eye(6, dtype=np.float32)
+        lk = Link(from_id, to_id, LINK_USER_CLOSURE, t_ab, info)
+        self.memory.add_link(lk)
+        self._optimize(Statistics(), [lk])
+        return True
+
+    def global_bundle_adjustment(self, iters: int = 10) -> bool:
+        """Full BA over resident nodes: tracks from shared word ids,
+        world points initialized from optimized poses
+        (reference: Rtabmap::globalBundleAdjustment / OptimizerG2O
+        optimizeBA, Rtabmap.h:215)."""
+        from collections import defaultdict
+
+        from rtabmap_tpu.optim import ba as BA
+
+        ids = [i for i in sorted(self.memory.signatures)
+               if (s := self.memory.get(i)) is not None and s.word_ids is not None
+               and i in self.optimized_poses]
+        if len(ids) < 2:
+            return False
+        id_to_cam = {i: k for k, i in enumerate(ids)}
+        tracks = defaultdict(list)  # word -> [(cam_k, uv, world_pt)]
+        for i in ids:
+            s = self.memory.get(i)
+            P = jnp.asarray(self.optimized_poses[i])
+            world = np.asarray(T.apply(P[None], jnp.asarray(s.pts3d)[None])[0])
+            wids = s.word_ids
+            uniq, counts = np.unique(wids[wids >= 0], return_counts=True)
+            dup = set(uniq[counts > 1].tolist())
+            for k in range(len(wids)):
+                w = int(wids[k])
+                if w < 0 or w in dup or not s.valid3d[k]:
+                    continue
+                tracks[w].append((id_to_cam[i], s.uv[k], world[k]))
+        # word ids alias distinct physical points (quantization); keep only
+        # tracks whose per-node WORLD points agree metrically
+        def consistent(obs):
+            pts = np.stack([o[2] for o in obs])
+            return np.linalg.norm(pts - pts.mean(0), axis=1).max() < 0.10
+
+        tracks = {w: obs for w, obs in tracks.items()
+                  if len(obs) >= 2 and consistent(obs)}
+        if len(tracks) < 10:
+            return False
+        cam_idx, pt_idx, uvn, pts0 = [], [], [], []
+        fx, fy = float(self.cam.fx), float(self.cam.fy)
+        cx, cy = float(self.cam.cx), float(self.cam.cy)
+        for p, (w, obs) in enumerate(tracks.items()):
+            pts0.append(np.mean([o[2] for o in obs], axis=0))
+            for ck, uv, _ in obs:
+                cam_idx.append(ck)
+                pt_idx.append(p)
+                uvn.append([(uv[0] - cx) / fx, (uv[1] - cy) / fy])
+        poses0 = jnp.stack([T.inverse(jnp.asarray(self.optimized_poses[i])) for i in ids])
+        # two anchors: pins the frame AND the scale gauge (pure-projection
+        # BA with one anchor leaves global scale free)
+        fixed = jnp.zeros((len(ids),), bool).at[0].set(True).at[1].set(True)
+        prob = BA.BAProblem(
+            poses=poses0, points=jnp.asarray(np.stack(pts0)),
+            cam_idx=jnp.asarray(cam_idx, jnp.int32),
+            pt_idx=jnp.asarray(pt_idx, jnp.int32),
+            uv=jnp.asarray(np.asarray(uvn, np.float32)),
+            valid=jnp.ones((len(cam_idx),), bool), fixed_cams=fixed,
+        )
+        out, cost = BA.bundle_adjust(prob, iters=iters, huber=4.0 / fx)
+        new = np.asarray(jax.vmap(T.inverse)(out.poses))
+        if not np.isfinite(new).all():
+            return False
+        for k, i in enumerate(ids):
+            self.optimized_poses[i] = new[k]
+        return True
+
+    def set_label(self, node_id: int, label: str) -> bool:
+        s = self.memory.get(node_id)
+        if s is None:
+            return False
+        s.label = label
+        return True
+
+    def compute_path(self, goal_id: int) -> List[int]:
+        """Topological path from the latest node to a goal node
+        (reference: Rtabmap::computePath Rtabmap.h:233-243)."""
+        from rtabmap_tpu.utils import graph as G
+
+        if not self.memory.stm and not self.memory.wm:
+            return []
+        start = (self.memory.stm or self.memory.wm)[-1]
+        adj = G.links_to_adjacency(self.memory.signatures)
+        return G.compute_path(self.optimized_poses, adj, start, goal_id)
 
     # --------------------------------------------------------------- exports
     def get_optimized_poses(self) -> Dict[int, np.ndarray]:
