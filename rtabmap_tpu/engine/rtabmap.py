@@ -260,8 +260,24 @@ class Rtabmap:
                 links_added.extend(prox_links)
                 st.add("Proximity/Space links added/", len(prox_links))
 
-        # --- I. graph optimization (+ max-error reject gate)
-        if self.rgbd_mode:
+        # --- I. graph optimization (+ max-error reject gate) — or, in
+        # localization mode, a direct map-correction update (the reference
+        # optimizes its odometry cache instead of the frozen map graph,
+        # Rtabmap.cpp:3300+; the correction below is the zero-cache case)
+        if not self.memory.incremental:
+            loc_link = next((lk for lk in links_added), None)
+            if loc_link is not None and loc_link.to_id == sig.id:
+                anchor = self.optimized_poses.get(loc_link.from_id)
+                if anchor is not None:
+                    corrected = np.asarray(
+                        T.compose(jnp.asarray(anchor), jnp.asarray(loc_link.transform)))
+                    self.map_correction = np.asarray(
+                        T.compose(jnp.asarray(corrected),
+                                  T.inverse(jnp.asarray(odom_pose))))
+                    st.add("Loop/Localized/", 1)
+            self.optimized_poses[sig.id] = np.asarray(
+                T.compose(jnp.asarray(self.map_correction), jnp.asarray(odom_pose)))
+        elif self.rgbd_mode:
             with st.time_stage("Timing/Map optimization/ms"):
                 self._optimize(st, links_added)
         else:

@@ -255,13 +255,30 @@ class Memory:
 
     # -------------------------------------------------------------- lifecycle
     def add_to_stm(self, sig: Signature, neighbor_link: Optional[Link] = None):
-        """(reference: Memory::addSignatureToStm Memory.cpp:1142.)"""
+        """(reference: Memory::addSignatureToStm Memory.cpp:1142.)
+
+        In localization mode (Mem/IncrementalMemory=false) signatures
+        leaving the STM are DELETED instead of promoted to WM — the loaded
+        map stays frozen (reference non-incremental semantics)."""
         if neighbor_link is not None:
             self.add_link(neighbor_link)
         self.stm.append(sig.id)
         while len(self.stm) > self.stm_size:
             moved = self.stm.pop(0)
-            self.wm.append(moved)
+            if self.incremental:
+                self.wm.append(moved)
+            else:
+                self.delete_signature(moved)
+
+    def delete_signature(self, sid: int):
+        """Drop a signature entirely (slab + links + record)."""
+        sig = self.signatures.get(sid)
+        if sig is None:
+            return
+        self._remove_slab(sig)
+        for j in list(sig.links):
+            self.remove_link(sid, j)
+        del self.signatures[sid]
 
     def rehearsal(self, sig: Signature) -> bool:
         """Compare to the previous STM signature; on similarity >= threshold
