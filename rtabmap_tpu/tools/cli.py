@@ -195,6 +195,82 @@ def tool_export(argv: List[str]):
     db.close()
 
 
+def tool_recovery(argv: List[str]):
+    """Rebuild a usable map store from an unclosed/corrupted one
+    (reference: tools/Recovery/main.cpp)."""
+    from rtabmap_tpu.memory.db_reader import database_recovery
+
+    out = database_recovery(argv[0], argv[1])
+    print(json.dumps(out))
+    return out
+
+
+def tool_detect_more_loop_closures(argv: List[str]):
+    """Offline closure sweep over a map store
+    (reference: tools/DetectMoreLoopClosures/main.cpp)."""
+    from rtabmap_tpu.engine.rtabmap import Rtabmap
+    from rtabmap_tpu.geometry import camera as C
+    from rtabmap_tpu.memory.db import Database
+    from rtabmap_tpu.utils.params import Parameters
+
+    params, rest = Parameters.parse_arguments(argv)
+    path = rest[0]
+    radius = float(rest[1]) if len(rest) > 1 else 1.0
+    db = Database(path)
+    cam = C.CameraModel.make(300.0, 300.0, 160.0, 120.0, 320, 240)
+    slam = Rtabmap.load(db, cam, params, new_session=False)
+    added = slam.detect_more_loop_closures(cluster_radius=radius)
+    print(f"added {added} loop closures")
+    slam.close()
+    db.close()
+    return added
+
+
+def tool_global_ba(argv: List[str]):
+    """Global bundle adjustment over a map store
+    (reference: tools/GlobalBundleAdjustment/main.cpp)."""
+    from rtabmap_tpu.engine.rtabmap import Rtabmap
+    from rtabmap_tpu.geometry import camera as C
+    from rtabmap_tpu.memory.db import Database
+    from rtabmap_tpu.utils.params import Parameters
+
+    params, rest = Parameters.parse_arguments(argv)
+    db = Database(rest[0])
+    cam = C.CameraModel.make(300.0, 300.0, 160.0, 120.0, 320, 240)
+    slam = Rtabmap.load(db, cam, params, new_session=False)
+    ok = slam.global_bundle_adjustment()
+    print(f"global BA: {'ok' if ok else 'skipped'}")
+    slam.close()
+    db.close()
+    return ok
+
+
+def tool_export_cloud(argv: List[str]):
+    """Assemble + export the map point cloud / mesh from a store
+    (reference: tools/Export/main.cpp)."""
+    from rtabmap_tpu.maps.mesh import write_ply
+    from rtabmap_tpu.memory.db import Database
+    from rtabmap_tpu.geometry import transform as T
+    import jax.numpy as jnp
+
+    db_path, out_path = argv[0], argv[1]
+    db = Database(db_path, async_writes=False)
+    admin = db.load_admin()
+    clouds = []
+    for sid in db.all_node_ids():
+        sig = db.load_signature(sid)
+        if sig is None or sig.pts3d is None:
+            continue
+        pose = admin["optimized_poses"].get(sid, sig.pose)
+        world = np.asarray(T.apply(jnp.asarray(pose)[None], jnp.asarray(sig.pts3d)[None])[0])
+        clouds.append(world[np.asarray(sig.valid3d, bool)])
+    cloud = np.concatenate(clouds) if clouds else np.zeros((0, 3))
+    write_ply(out_path, cloud)
+    print(f"exported {len(cloud)} points -> {out_path}")
+    db.close()
+    return len(cloud)
+
+
 TOOLS = {
     "rgbd_dataset": tool_rgbd_dataset,
     "kitti_dataset": tool_kitti_dataset,
@@ -203,6 +279,10 @@ TOOLS = {
     "report": tool_report,
     "reprocess": tool_reprocess,
     "export": tool_export,
+    "export_cloud": tool_export_cloud,
+    "recovery": tool_recovery,
+    "detect_more_loop_closures": tool_detect_more_loop_closures,
+    "global_ba": tool_global_ba,
 }
 
 
