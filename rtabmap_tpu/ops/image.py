@@ -103,6 +103,23 @@ def bilinear_sample(img, uv, pad_value: float = 0.0):
     return s
 
 
+def nearest_sample(img, uv, pad_value: float = 0.0):
+    """Nearest-neighbour sample (...,H,W) at uv (...,N,2) — 1 gather per
+    point vs bilinear's 4; pair with a blurred source."""
+    H, W = img.shape[-2:]
+    ui = jnp.round(uv[..., 0]).astype(jnp.int32)
+    vi = jnp.round(uv[..., 1]).astype(jnp.int32)
+    ok = (ui >= 0) & (ui < W) & (vi >= 0) & (vi < H)
+    uc = jnp.clip(ui, 0, W - 1)
+    vc = jnp.clip(vi, 0, H - 1)
+    val = jnp.take_along_axis(
+        img.reshape((*img.shape[:-2], H * W)),
+        (vc * W + uc).reshape((*vc.shape[:-1], -1)),
+        axis=-1,
+    ).reshape(vc.shape)
+    return jnp.where(ok, val, pad_value)
+
+
 def max_pool_same(img, size: int):
     """Max filter with 'same' padding on (...,H,W) — used for NMS."""
     batch = img.shape[:-2]
