@@ -51,6 +51,36 @@ def shi_tomasi_response(gray, sigma: float = 1.5):
     return 0.5 * (tr - det_term)  # min eigenvalue
 
 
+def harris_response(gray, sigma: float = 1.5, k: float = 0.04):
+    """Harris corner response det(M) - k*tr(M)^2 (reference: cv::cornerHarris
+    path of GFTT, Features2d.cpp kDetectorGfttHarris)."""
+    gx, gy = im.sobel(gray)
+    gxx = im.gaussian_blur(gx * gx, sigma)
+    gyy = im.gaussian_blur(gy * gy, sigma)
+    gxy = im.gaussian_blur(gx * gy, sigma)
+    det = gxx * gyy - gxy * gxy
+    tr = gxx + gyy
+    return det - k * tr * tr
+
+
+def dog_response(gray, sigma1: float = 1.0, sigma2: float = 1.6):
+    """|difference-of-Gaussians| blob response — the SIFT/KAZE-family blob
+    detector analogue (reference: Features2d.cpp kDetectorSift; scale search
+    collapsed to the base octave, which matches how the engine runs SIFT for
+    odometry at fixed image scale)."""
+    g1 = im.gaussian_blur(gray, sigma1)
+    g2 = im.gaussian_blur(gray, sigma2, radius=4)
+    return jnp.abs(g1 - g2)
+
+
+RESPONSE_FNS = {
+    "gftt": shi_tomasi_response,
+    "harris": harris_response,
+    "dog": lambda g: dog_response(g),
+    "fast": lambda g: fast_response(g),
+}
+
+
 def fast_response(gray, ring_r: int = 3):
     """FAST-like corner score: sum of absolute center-vs-ring differences
     exceeding a contrast margin, computed densely with shifts (vectorized)."""
@@ -263,10 +293,17 @@ def keypoints_3d_from_depth(kps: Keypoints, depth, cam, min_depth=0.1, max_depth
 
 def detect_and_describe(gray, max_kp: int, use_grid: bool = True,
                         grid: Tuple[int, int] = (4, 4), quality_level: float = 0.01,
-                        nms_size: int = 7, subpixel: bool = True):
-    """Full single-image pipeline: GFTT score -> NMS top-k -> orientation ->
-    rotated-BRIEF. Returns (Keypoints, desc(K,256) int8)."""
-    score = shi_tomasi_response(gray)
+                        nms_size: int = 7, subpixel: bool = True,
+                        detector: str = "gftt"):
+    """Full single-image pipeline: score map -> NMS top-k -> orientation ->
+    rotated-BRIEF. Returns (Keypoints, desc(K,256) int8).
+
+    ``detector`` selects the response map (gftt | harris | dog | fast) —
+    the TPU re-expression of the reference's Kp/DetectorStrategy factory
+    (Features2d.cpp Feature2D::create); the learned path (SuperPoint) lives
+    in rtabmap_tpu.models.superpoint.
+    """
+    score = RESPONSE_FNS[detector](gray)
     if use_grid:
         kps = select_top_k_grid(score, max_kp, grid, nms_size, quality_level)
     else:

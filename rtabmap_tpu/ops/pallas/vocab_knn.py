@@ -1,0 +1,143 @@
+"""Pallas TPU kernel: fused Hamming-distance 2-NN over the vocabulary slab.
+
+The vocabulary quantization hot loop (reference: rtflann kd-tree search,
+/root/reference/corelib/src/VWDictionary.cpp:913) re-designed as a single
+fused kernel: the MXU computes the ±1 dot-product block, and the running
+top-2 (distance, index) lives in VMEM scratch across grid steps — the
+(Q, W) distance matrix is never materialized in HBM, so the kernel is
+bandwidth-bound only on the slab read (which double-buffers via the grid
+pipeline).
+
+Layout notes (Mosaic tiling wants 128-multiple minor dims): the validity
+mask rides as an f32 (1, W) penalty row and the running top-2 state is
+kept transposed as (2, Q).
+
+Falls back to ops.matching.knn_blocked off-TPU (CPU tests exercise the
+kernel in interpreter mode).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rtabmap_tpu.ops.features import DESC_DIM
+
+
+def _kernel(q_ref, slab_ref, penalty_ref, d_ref, i_ref, best_d, best_i):
+    import jax.experimental.pallas as pl
+
+    j = pl.program_id(0)
+    nblocks = pl.num_programs(0)
+    block = slab_ref.shape[0]
+
+    @pl.when(j == 0)
+    def _init():
+        best_d[:] = jnp.full_like(best_d, 1e9)
+        best_i[:] = jnp.zeros_like(best_i)
+
+    q = q_ref[:].astype(jnp.bfloat16)
+    s = slab_ref[:].astype(jnp.bfloat16)
+    sim = jnp.dot(q, s.T, preferred_element_type=jnp.float32)   # (Q, B) MXU
+    dist = (DESC_DIM - sim) * 0.5 + penalty_ref[0, :][None, :]
+
+    # block-local top-2 via two masked min/argmin passes (VPU reductions)
+    d0 = jnp.min(dist, axis=1)
+    a0 = jnp.argmin(dist, axis=1).astype(jnp.int32)
+    cols = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
+    dist2 = jnp.where(cols == a0[:, None], 1e9, dist)
+    d1 = jnp.min(dist2, axis=1)
+    a1 = jnp.argmin(dist2, axis=1).astype(jnp.int32)
+    g0 = a0 + j * block
+    g1 = a1 + j * block
+
+    # merge sorted pairs (b0<=b1), (d0<=d1) -> new top-2
+    b0 = best_d[0, :]
+    b1 = best_d[1, :]
+    i0 = best_i[0, :]
+    i1 = best_i[1, :]
+    n0 = jnp.minimum(b0, d0)
+    ni0 = jnp.where(b0 <= d0, i0, g0)
+    m = jnp.maximum(b0, d0)
+    mi = jnp.where(b0 <= d0, g0, i0)
+    n1 = jnp.minimum(jnp.minimum(m, b1), d1)
+    ni1 = jnp.where(m <= jnp.minimum(b1, d1), mi,
+                    jnp.where(b1 <= d1, i1, g1))
+    best_d[0, :] = n0
+    best_d[1, :] = n1
+    best_i[0, :] = ni0
+    best_i[1, :] = ni1
+
+    @pl.when(j == nblocks - 1)
+    def _done():
+        d_ref[:] = best_d[:]
+        i_ref[:] = best_i[:]
+
+
+@partial(jax.jit, static_argnames=("block", "interpret"))
+def pallas_knn2(query, slab, slab_valid, block: int = 1024, interpret: bool = False):
+    """Fused 2-NN: query (Q,D) ±1 int8 vs slab (W,D) ±1 int8.
+
+    Returns (dists (Q,2) ascending, idx (Q,2)). Q and W must be multiples
+    of 128 and ``block`` respectively.
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    Q, D = query.shape
+    W = slab.shape[0]
+    assert W % block == 0, (W, block)
+    nblocks = W // block
+    penalty = jnp.where(slab_valid, 0.0, 1e9).astype(jnp.float32)[None, :]  # (1,W)
+
+    d, i = pl.pallas_call(
+        _kernel,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((Q, D), lambda j: (0, 0)),
+            pl.BlockSpec((block, D), lambda j: (j, 0)),
+            pl.BlockSpec((1, block), lambda j: (0, j)),
+        ],
+        out_specs=[
+            pl.BlockSpec((2, Q), lambda j: (0, 0)),
+            pl.BlockSpec((2, Q), lambda j: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((2, Q), jnp.float32),
+            jax.ShapeDtypeStruct((2, Q), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, Q), jnp.float32),
+            pltpu.VMEM((2, Q), jnp.int32),
+        ],
+        interpret=interpret,
+    )(query, slab, penalty)
+    return d.T, i.T
+
+
+def use_pallas_ok(n_query: int, n_slab: int, block: int = 1024) -> bool:
+    """True when the TPU Pallas path applies (platform + layout constraints).
+
+    ``block=1024`` with Q<=2048 keeps the two (Q, B) f32 temporaries inside
+    the 16 MiB scoped-VMEM budget (measured: b2048/Q1024 OOMs at 16.1 MiB).
+    """
+    platform = jax.devices()[0].platform
+    return (platform in ("tpu", "axon") and n_slab % block == 0
+            and n_query % 128 == 0 and n_query <= 2048)
+
+
+def knn2(query, slab, slab_valid, block: int = 1024):
+    """Dispatch: Pallas on TPU (measured 223x vs the lax.scan blocked matmul
+    at Q=1024, W=131072 on v5e: 5.1ms vs 1131ms), exact blocked-matmul
+    fallback elsewhere."""
+    if use_pallas_ok(query.shape[0], slab.shape[0], block):
+        try:
+            return pallas_knn2(query, slab, slab_valid, block=block)
+        except Exception:
+            pass
+    from rtabmap_tpu.ops.matching import knn_blocked
+
+    return knn_blocked(query, slab, k=2, block=min(block, slab.shape[0]),
+                       base_valid=slab_valid)

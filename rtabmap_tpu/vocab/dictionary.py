@@ -26,8 +26,9 @@ from rtabmap_tpu.ops import matching as M
 from rtabmap_tpu.ops.features import DESC_DIM
 
 
-@partial(jax.jit, static_argnames=("block",))
-def _quantize_kernel(desc, valid, slab, word_valid, nndr: jnp.ndarray, block: int = 8192):
+@partial(jax.jit, static_argnames=("block", "use_pallas"))
+def _quantize_kernel(desc, valid, slab, word_valid, nndr: jnp.ndarray, block: int = 8192,
+                     use_pallas: bool = False):
     """2-NN against the word slab + Lowe test.
 
     Returns (nn_idx (K,), is_new (K,)): is_new=True when the descriptor is
@@ -35,7 +36,12 @@ def _quantize_kernel(desc, valid, slab, word_valid, nndr: jnp.ndarray, block: in
     the reference's incremental-mode new-word rule), or when the
     dictionary is empty for that query.
     """
-    d, i = M.knn_blocked(desc, slab, k=2, block=block, base_valid=word_valid)
+    if use_pallas:
+        from rtabmap_tpu.ops.pallas.vocab_knn import pallas_knn2
+
+        d, i = pallas_knn2(desc, slab, word_valid)
+    else:
+        d, i = M.knn_blocked(desc, slab, k=2, block=block, base_valid=word_valid)
     has_any = jnp.any(word_valid)
     d0, d1 = d[:, 0], d[:, 1]
     # no valid second neighbor -> treat as distinctive (match first) unless
@@ -75,9 +81,12 @@ class VWDictionary:
         """Assign word ids to descriptors; create new words in incremental
         mode. Returns (word_ids (K,) int32 with -1 for invalid slots,
         is_new (K,) bool)."""
+        from rtabmap_tpu.ops.pallas.vocab_knn import use_pallas_ok
+
         nn_idx, is_new = _quantize_kernel(
             desc, valid, self.slab, self.word_valid, jnp.float32(self.nndr),
             block=self.block,
+            use_pallas=use_pallas_ok(desc.shape[0], self.capacity),
         )
         nn_idx = np.asarray(nn_idx)
         is_new = np.asarray(is_new)
