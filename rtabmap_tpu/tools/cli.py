@@ -271,6 +271,128 @@ def tool_export_cloud(argv: List[str]):
     return len(cloud)
 
 
+def tool_reduce_graph(argv: List[str]):
+    """Prune non-essential nodes, composing their neighbor links
+    (reference: tools/ReduceGraph/main.cpp — keep loop-closure anchors and
+    every k-th node; a removed node's A-n / n-B neighbor links merge into
+    one A-B LINK_NEIGHBOR_MERGED with composed transform and the weaker
+    information). Usage: reduce_graph in.db out.db [keep_every=2]."""
+    import jax.numpy as jnp
+
+    from rtabmap_tpu.geometry import transform as T
+    from rtabmap_tpu.memory.db import Database
+    from rtabmap_tpu.memory.memory import (
+        LINK_NEIGHBOR, LINK_NEIGHBOR_MERGED, Link,
+    )
+    from rtabmap_tpu.utils.params import Parameters
+
+    _, rest = Parameters.parse_arguments(argv)
+    src_path, dst_path = rest[0], rest[1]
+    keep_every = int(rest[2]) if len(rest) > 2 else 2
+    src = Database(src_path, async_writes=False)
+    ids = src.all_node_ids()
+    links = src.all_links()
+    closure_nodes = {l.from_id for l in links if l.type not in
+                     (LINK_NEIGHBOR, LINK_NEIGHBOR_MERGED)} | \
+                    {l.to_id for l in links if l.type not in
+                     (LINK_NEIGHBOR, LINK_NEIGHBOR_MERGED)}
+    keep = [i for k, i in enumerate(sorted(ids))
+            if k % keep_every == 0 or i in closure_nodes]
+    keep_set = set(keep)
+    # walk neighbor chains, composing transforms across removed nodes
+    nxt = {}
+    for l in links:
+        if l.type in (LINK_NEIGHBOR, LINK_NEIGHBOR_MERGED) and l.from_id < l.to_id:
+            nxt[l.from_id] = l
+    out_links, seen_pairs = [], set()
+    for l in links:
+        pair = (min(l.from_id, l.to_id), max(l.from_id, l.to_id))
+        if (l.type not in (LINK_NEIGHBOR, LINK_NEIGHBOR_MERGED)
+                and l.from_id in keep_set and l.to_id in keep_set
+                and pair not in seen_pairs):
+            seen_pairs.add(pair)
+            out_links.append(l)
+    for a in sorted(keep_set):
+        lk = nxt.get(a)
+        if lk is None:
+            continue
+        Tab = jnp.asarray(lk.transform)
+        info = lk.information
+        b = lk.to_id
+        merged = False
+        while b not in keep_set and b in nxt:
+            lk2 = nxt[b]
+            Tab = T.compose(Tab, jnp.asarray(lk2.transform))
+            info = np.minimum(info, lk2.information)
+            b = lk2.to_id
+            merged = True
+        if b in keep_set and b != a:
+            out_links.append(Link(a, b,
+                                  LINK_NEIGHBOR_MERGED if merged else lk.type,
+                                  np.asarray(Tab), info))
+    by_from: dict = {}
+    for l in out_links:
+        by_from.setdefault(l.from_id, {})[l.to_id] = l
+    dst = Database(dst_path, async_writes=False)
+    for i in keep:
+        sig = src.load_signature(i)
+        if sig is not None:
+            sig.links = by_from.get(i, {})
+            dst.save_signature(sig)
+    admin = src.load_admin()
+    dst.save_admin(params=admin.get("parameters"))
+    dst.flush()
+    print(f"reduced {len(ids)} -> {len(keep)} nodes, "
+          f"{len(links)} -> {len(out_links)} links -> {dst_path}")
+    src.close()
+    dst.close()
+    return len(keep)
+
+
+def tool_matcher(argv: List[str]):
+    """Match two images and estimate their relative pose
+    (reference: tools/Matcher/main.cpp). Usage:
+    matcher imgA imgB [--Vis/... v]; prints matches/inliers/transform."""
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from rtabmap_tpu.core.frame import extract_features
+    from rtabmap_tpu.geometry import camera as C
+    from rtabmap_tpu.ops import epipolar as EP
+    from rtabmap_tpu.ops import image as im
+    from rtabmap_tpu.ops import matching as M
+    from rtabmap_tpu.utils.params import Parameters
+
+    params, rest = Parameters.parse_arguments(argv)
+    pa, pb = rest[0], rest[1]
+    max_kp = int(params["Vis/MaxFeatures"]) or 512
+    nndr = float(params["Vis/CorNNDR"])
+
+    def load(p):
+        a = np.asarray(Image.open(p))
+        g = im.rgb_to_gray(jnp.asarray(a)) if a.ndim == 3 else jnp.asarray(
+            a, jnp.float32) / 255.0
+        return g
+
+    ga, gb = load(pa), load(pb)
+    H, W = np.asarray(ga).shape
+    cam = C.CameraModel.make(W, W, W / 2 - 0.5, H / 2 - 0.5, W, H)
+    ext = jax.jit(lambda g: extract_features(g, jnp.zeros_like(g), cam, max_kp))
+    fa, fb = ext(ga), ext(gb)
+    m = M.match_mutual_nndr(fa.desc, fa.valid, fb.desc, fb.valid, nndr=nndr)
+    nm = int(np.asarray(m.valid).sum())
+    ok, F, inl = EP.check_hypothesis(fa.uv, fb.uv[m.idx], m.valid,
+                                     jax.random.PRNGKey(0))
+    print(f"features: {int(np.asarray(fa.valid).sum())} / "
+          f"{int(np.asarray(fb.valid).sum())}")
+    print(f"mutual NNDR matches: {nm}")
+    print(f"epipolar inliers: {int(np.asarray(inl).sum())} "
+          f"(geometry {'OK' if bool(ok) else 'REJECTED'})")
+    return {"matches": nm, "inliers": int(np.asarray(inl).sum()),
+            "ok": bool(ok)}
+
+
 TOOLS = {
     "rgbd_dataset": tool_rgbd_dataset,
     "kitti_dataset": tool_kitti_dataset,
@@ -283,6 +405,8 @@ TOOLS = {
     "recovery": tool_recovery,
     "detect_more_loop_closures": tool_detect_more_loop_closures,
     "global_ba": tool_global_ba,
+    "reduce_graph": tool_reduce_graph,
+    "matcher": tool_matcher,
 }
 
 

@@ -1,0 +1,82 @@
+"""reduce_graph and matcher CLI tools."""
+import numpy as np
+import pytest
+
+from rtabmap_tpu.memory.db import Database
+from rtabmap_tpu.memory.memory import (
+    LINK_GLOBAL_CLOSURE, LINK_NEIGHBOR, LINK_NEIGHBOR_MERGED, Link, Signature,
+)
+from rtabmap_tpu.tools.cli import tool_matcher, tool_reduce_graph
+
+
+def _chain_db(path, n=9):
+    """Nodes 1..n in a line (neighbor step +1m in x), loop link n<->1."""
+    db = Database(path, async_writes=False)
+    step = np.eye(3, 4, dtype=np.float32)
+    step[0, 3] = 1.0
+    for i in range(1, n + 1):
+        pose = np.eye(3, 4, dtype=np.float32)
+        pose[0, 3] = float(i - 1)
+        sig = Signature(id=i, map_id=0, stamp=float(i), pose=pose, weight=0)
+        if i < n:
+            sig.links[i + 1] = Link(i, i + 1, LINK_NEIGHBOR, step.copy(),
+                                    np.eye(6, dtype=np.float32))
+        db.save_signature(sig)
+    loop_sig = db.load_signature(n)
+    loop = np.eye(3, 4, dtype=np.float32)
+    loop[0, 3] = -(n - 1.0)
+    loop_sig.links[1] = Link(n, 1, LINK_GLOBAL_CLOSURE, loop,
+                             np.eye(6, dtype=np.float32))
+    db.save_signature(loop_sig)
+    db.flush()
+    db.close()
+
+
+def test_reduce_graph_composes_neighbors(tmp_path):
+    src = str(tmp_path / "src.db")
+    dst = str(tmp_path / "dst.db")
+    _chain_db(src, n=9)
+    kept = tool_reduce_graph([src, dst, "2"])
+    db = Database(dst, async_writes=False)
+    ids = db.all_node_ids()
+    assert len(ids) == kept and kept < 9
+    assert 1 in ids and 9 in ids  # closure anchors preserved
+    links = db.all_links()
+    merged = [l for l in links if l.type == LINK_NEIGHBOR_MERGED]
+    assert merged, "composed neighbor links expected"
+    # composed transform spans the removed node: |t| == 2 m
+    for l in merged:
+        assert abs(abs(l.transform[0, 3]) - (l.to_id - l.from_id)) < 1e-5
+    # closure link survived
+    assert any(l.type == LINK_GLOBAL_CLOSURE for l in links)
+    # graph is still connected 1 -> 9 through neighbor(+merged) links
+    adj = {}
+    for l in links:
+        if l.type in (LINK_NEIGHBOR, LINK_NEIGHBOR_MERGED):
+            adj.setdefault(l.from_id, set()).add(l.to_id)
+            adj.setdefault(l.to_id, set()).add(l.from_id)
+    seen, stack = set(), [1]
+    while stack:
+        u = stack.pop()
+        if u in seen:
+            continue
+        seen.add(u)
+        stack += list(adj.get(u, ()))
+    assert 9 in seen
+    db.close()
+
+
+def test_matcher_tool(tmp_path):
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    base = (rng.random((120, 160)) * 60).astype(np.uint8)
+    base[30:90:6, 40:120] += 120
+    base[30:90, 40:120:6] += 120
+    a = str(tmp_path / "a.png")
+    b = str(tmp_path / "b.png")
+    Image.fromarray(base).save(a)
+    Image.fromarray(np.roll(base, 3, axis=1)).save(b)  # 3px shift
+    out = tool_matcher([a, b])
+    assert out["matches"] > 20
+    assert out["inliers"] > 15 and out["ok"]
