@@ -81,6 +81,13 @@ RESPONSE_FNS = {
 }
 
 
+def register_detector(name: str, response_fn):
+    """Plug in a custom response-map detector (the analogue of the
+    reference's PyDetector embedded-Python hook, PythonInterface.h:27 —
+    here a plugin is just a jittable (H,W)->(H,W) score function)."""
+    RESPONSE_FNS[name] = response_fn
+
+
 def fast_response(gray, ring_r: int = 3):
     """FAST-like corner score: sum of absolute center-vs-ring differences
     exceeding a contrast margin, computed densely with shifts (vectorized)."""

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def rgb_to_gray(img):
@@ -146,3 +147,104 @@ def histogram_equalize(img, bins: int = 64):
     cdf = cdf / jnp.maximum(cdf[..., -1:], 1.0)
     eq = jnp.take_along_axis(cdf, idx.reshape((-1, flat.shape[-1])), axis=-1)
     return eq.reshape(img.shape)
+
+
+# ---------------------------------------------------------------- util2d extras
+
+
+def _shifts(img, radius: int):
+    """All (dy,dx) shifted copies within a square window, zero-padded.
+    Returns (n_off, ...,H,W) stacked array + list of (dy,dx)."""
+    H, W = img.shape[-2:]
+    p = radius
+    padded = jnp.pad(img, [(0, 0)] * (img.ndim - 2) + [(p, p), (p, p)])
+    outs, offs = [], []
+    for dy in range(-radius, radius + 1):
+        for dx in range(-radius, radius + 1):
+            outs.append(jax.lax.dynamic_slice_in_dim(
+                jax.lax.dynamic_slice_in_dim(padded, p + dy, H, axis=-2),
+                p + dx, W, axis=-1))
+            offs.append((dy, dx))
+    return jnp.stack(outs), offs
+
+
+def bilateral_filter(depth, radius: int = 3, sigma_s: float = 2.0,
+                     sigma_r: float = 0.05):
+    """Edge-preserving depth smoothing (reference: util2d
+    fastBilateralFiltering, util2d.cpp). Zeros (invalid) are excluded from
+    the weighted mean and stay zero."""
+    shifted, offs = _shifts(depth, radius)
+    sw = jnp.asarray([np.exp(-(dy * dy + dx * dx) / (2 * sigma_s ** 2))
+                      for dy, dx in offs], jnp.float32)
+    valid = (shifted > 0) & (depth[None] > 0)
+    rw = jnp.exp(-((shifted - depth[None]) ** 2) / (2 * sigma_r ** 2))
+    w = jnp.where(valid, sw.reshape((-1,) + (1,) * depth.ndim) * rw, 0.0)
+    num = jnp.sum(w * shifted, axis=0)
+    den = jnp.sum(w, axis=0)
+    return jnp.where((depth > 0) & (den > 1e-12), num / jnp.maximum(den, 1e-12),
+                     depth)
+
+
+def fill_depth_holes(depth, iterations: int = 2, radius: int = 1,
+                     max_spread: float = 0.1):
+    """Fill invalid (zero) depth pixels from valid neighbors when the
+    neighborhood is depth-consistent (reference: util2d::fillDepthHoles —
+    hole filling bounded by ``maximum filling distance`` / error ratio)."""
+    for _ in range(iterations):
+        shifted, _ = _shifts(depth, radius)
+        valid = shifted > 0
+        cnt = jnp.sum(valid, axis=0)
+        mean = jnp.sum(jnp.where(valid, shifted, 0.0), axis=0) / jnp.maximum(cnt, 1)
+        sq = jnp.sum(jnp.where(valid, (shifted - mean[None]) ** 2, 0.0), axis=0)
+        std = jnp.sqrt(sq / jnp.maximum(cnt, 1))
+        fill = (depth <= 0) & (cnt >= 3) & (std < max_spread * jnp.maximum(mean, 1e-6))
+        depth = jnp.where(fill, mean, depth)
+    return depth
+
+
+def register_depth(depth, depth_cam, rgb_cam, T_rgb_depth, out_shape=None):
+    """Reproject a depth image into the RGB camera (reference:
+    util2d::registerDepth, util2d.h:123-129): backproject every depth pixel,
+    transform into the RGB frame, z-buffer scatter-min onto the RGB grid."""
+    from rtabmap_tpu.geometry import camera as C
+    from rtabmap_tpu.geometry import transform as T
+
+    H, W = depth.shape[-2:]
+    Ho, Wo = out_shape if out_shape is not None else (H, W)
+    vv, uu = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
+                          jnp.arange(W, dtype=jnp.float32), indexing="ij")
+    uv = jnp.stack([uu.reshape(-1), vv.reshape(-1)], axis=-1)
+    z = depth.reshape(-1)
+    pts = C.backproject(uv, z, depth_cam)
+    pts_rgb = T.apply(jnp.asarray(T_rgb_depth)[None], pts[None])[0]
+    uv_rgb, z_rgb = C.project(pts_rgb, rgb_cam)
+    ui = jnp.round(uv_rgb[:, 0]).astype(jnp.int32)
+    vi = jnp.round(uv_rgb[:, 1]).astype(jnp.int32)
+    ok = (z > 0) & (z_rgb > 0) & (ui >= 0) & (ui < Wo) & (vi >= 0) & (vi < Ho)
+    lin = jnp.where(ok, vi * Wo + ui, Ho * Wo)
+    out = jnp.full((Ho * Wo + 1,), jnp.inf)
+    out = out.at[lin].min(jnp.where(ok, z_rgb, jnp.inf))
+    out = out[:-1].reshape(Ho, Wo)
+    return jnp.where(jnp.isfinite(out), out, 0.0)
+
+
+def exposure_fusion(images):
+    """Mertens-style single-scale exposure fusion of (N,H,W) gray stack
+    (reference: util2d::exposureFusion wrapping cv::createMergeMertens).
+    Weights = contrast (|laplacian|) x well-exposedness."""
+    imgs = jnp.asarray(images)
+    lap = jnp.abs(4 * imgs
+                  - jnp.roll(imgs, 1, -1) - jnp.roll(imgs, -1, -1)
+                  - jnp.roll(imgs, 1, -2) - jnp.roll(imgs, -1, -2))
+    wexp = jnp.exp(-((imgs - 0.5) ** 2) / (2 * 0.2 ** 2))
+    w = lap * wexp + 1e-12
+    w = w / jnp.sum(w, axis=0, keepdims=True)
+    return jnp.sum(w * imgs, axis=0)
+
+
+def brightness_contrast_auto(img, clip_percent: float = 1.0):
+    """Percentile-stretch auto brightness/contrast (reference:
+    util2d::brightnessAndContrastAuto)."""
+    lo = jnp.percentile(img, clip_percent)
+    hi = jnp.percentile(img, 100.0 - clip_percent)
+    return jnp.clip((img - lo) / jnp.maximum(hi - lo, 1e-6), 0.0, 1.0)
