@@ -60,11 +60,12 @@ def match_nndr(desc_a, valid_a, desc_b, valid_b, nndr: float = 0.8,
         dv = guess_uv[:, None, 1] - uv_b[None, :, 1]
         mask = mask & ((du * du + dv * dv) <= window * window)
     d = jnp.where(mask, d, inf)
-    # top-2 smallest == top-2 of negated
-    neg2, idx2 = jax.lax.top_k(-d, 2)
-    best = -neg2[:, 0]
-    second = -neg2[:, 1]
-    idx = idx2[:, 0].astype(jnp.int32)
+    # top-2 smallest via two masked min/argmin passes — cheaper on the VPU
+    # than the general sorting network lax.top_k lowers to
+    best = jnp.min(d, axis=-1)
+    idx = jnp.argmin(d, axis=-1).astype(jnp.int32)
+    cols = jax.lax.broadcasted_iota(jnp.int32, d.shape, d.ndim - 1)
+    second = jnp.min(jnp.where(cols == idx[:, None], inf, d), axis=-1)
     ok = valid_a & (best < inf * 0.5) & (best <= nndr * second)
     if max_dist is not None:
         ok = ok & (best <= max_dist)

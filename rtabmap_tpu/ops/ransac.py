@@ -115,11 +115,21 @@ def _dlt_pnp(pts3d, xn):
     r1 = jnp.concatenate([X, z, -u * X], axis=-1)   # (...,N,12)
     r2 = jnp.concatenate([z, X, -v * X], axis=-1)
     A = jnp.concatenate([r1, r2], axis=-2)          # (...,2N,12)
-    # min ||A p||: smallest eigenvector of A^T A — a batched symmetric
-    # 12x12 eigh is far cheaper on TPU than the tall SVD
+    # min ||A p||: smallest eigenvector of A^T A. One batched 12x12
+    # Cholesky + a fixed number of inverse-iteration solves beats both the
+    # tall SVD and eigh on TPU (measured: eigh was the PnP stage's hot op);
+    # lambda_min << lambda_2 for RANSAC minimal samples, so convergence is
+    # one-two iterations — garbage hypotheses are RANSAC-filtered anyway.
     AtA = jnp.einsum("...ni,...nj->...ij", A, A)
-    _, V = jnp.linalg.eigh(AtA)
-    p = V[..., :, 0]
+    tr = jnp.trace(AtA, axis1=-2, axis2=-1)
+    eye = jnp.eye(12, dtype=AtA.dtype)
+    L = jnp.linalg.cholesky(AtA + (1e-9 * tr + 1e-12)[..., None, None] * eye)
+    p = jnp.ones((*AtA.shape[:-2], 12), AtA.dtype)
+    for _ in range(4):
+        y = jax.scipy.linalg.solve_triangular(L, p[..., None], lower=True)
+        p = jax.scipy.linalg.solve_triangular(
+            L, y, lower=True, trans=1)[..., 0]
+        p = p / jnp.maximum(jnp.linalg.norm(p, axis=-1, keepdims=True), 1e-30)
     P = p.reshape((*p.shape[:-1], 3, 4))
     R = P[..., :3]
     # P = s*[R|t] up to an unknown signed scale s; det(sR) = s^3, so the
