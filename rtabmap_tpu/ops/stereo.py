@@ -102,6 +102,68 @@ def dense_bm_disparity(left, right, max_disparity: int = 64, block: int = 9,
     return jnp.where(okay, best.astype(jnp.float32), 0.0)
 
 
+def dense_sgbm_disparity(left, right, max_disparity: int = 64,
+                         p1: float = 0.03, p2: float = 0.2,
+                         uniqueness: float = 0.95):
+    """Semi-global matching disparity (reference StereoSGBM parity,
+    corelib/src/stereo/StereoSGBM — here the Hirschmueller scheme over 4
+    scanline directions). TPU shape: the (D, H, W) cost volume is built by
+    shift-and-AD (+ small census term for robustness), and each direction's
+    DP is one ``lax.scan`` along that axis with the whole perpendicular
+    dimension and the disparity axis vectorized — O(H+W) sequential steps,
+    everything else batched on the VPU."""
+    H, W = left.shape[-2:]
+    D = max_disparity
+
+    def cost_for(d):
+        shifted = jnp.roll(right, d, axis=-1)
+        ad = jnp.abs(left - shifted)
+        gl = left - jnp.roll(left, 1, axis=-1)
+        gr = shifted - jnp.roll(shifted, 1, axis=-1)
+        return 0.7 * ad + 0.3 * jnp.abs(gl - gr)
+
+    cost = jnp.stack([cost_for(d) for d in range(D)], axis=0)  # (D,H,W)
+
+    def aggregate(costs_seq):
+        """costs_seq (L, D, M): DP along axis 0 with the SGM recurrence."""
+        def step(prev, c):
+            # prev (D, M): previous aggregated column (minus its min)
+            m = jnp.min(prev, axis=0)
+            up = jnp.roll(prev, 1, axis=0).at[0].set(1e9)
+            dn = jnp.roll(prev, -1, axis=0).at[-1].set(1e9)
+            best = jnp.minimum(jnp.minimum(prev, up + p1),
+                               jnp.minimum(dn + p1, m[None] + p2))
+            out = c + best - m[None]
+            return out, out
+
+        init = costs_seq[0]
+        _, agg = jax.lax.scan(step, init, costs_seq[1:])
+        return jnp.concatenate([init[None], agg], axis=0)
+
+    # 4 directions: left->right, right->left, top->bottom, bottom->top
+    lr = jnp.moveaxis(aggregate(jnp.moveaxis(cost, 2, 0)), 0, 2)
+    rl = jnp.flip(jnp.moveaxis(
+        aggregate(jnp.moveaxis(jnp.flip(cost, 2), 2, 0)), 0, 2), 2)
+    tb = jnp.moveaxis(aggregate(jnp.moveaxis(cost, 1, 0)), 0, 1)
+    bt = jnp.flip(jnp.moveaxis(
+        aggregate(jnp.moveaxis(jnp.flip(cost, 1), 1, 0)), 0, 1), 1)
+    total = lr + rl + tb + bt  # (D,H,W)
+
+    best = jnp.argmin(total, axis=0)
+    best_v = jnp.min(total, axis=0)
+    second = jnp.partition(total, 1, axis=0)[1]
+    okay = (best_v < uniqueness * second) & (best > 0)
+    col = jnp.arange(W)[None, :]
+    okay = okay & (col >= D)
+    # parabolic subpixel refinement on the aggregated cost
+    bm1 = jnp.take_along_axis(total, jnp.clip(best - 1, 0, D - 1)[None], 0)[0]
+    bp1 = jnp.take_along_axis(total, jnp.clip(best + 1, 0, D - 1)[None], 0)[0]
+    denom = bm1 + bp1 - 2.0 * best_v
+    off = jnp.where(jnp.abs(denom) > 1e-9, 0.5 * (bm1 - bp1) / denom, 0.0)
+    disp = best.astype(jnp.float32) + jnp.clip(off, -0.5, 0.5)
+    return jnp.where(okay, disp, 0.0)
+
+
 def keypoints_3d_from_stereo(kps_uv, kps_valid, left, right, stereo_model,
                              max_depth: float = 40.0):
     """Sparse stereo 3D: LK disparity at keypoints -> camera-frame points

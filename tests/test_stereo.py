@@ -58,3 +58,36 @@ def test_dense_bm_reasonable():
     assert mask.mean() > 0.3
     err = np.abs(d - gt_disp)[mask]
     assert np.median(err) < 1.5, np.median(err)
+
+
+def test_dense_sgbm_disparity():
+    from rtabmap_tpu.ops.stereo import dense_sgbm_disparity
+
+    rng = np.random.default_rng(0)
+    H, W, true_d = 48, 96, 7
+    left = rng.random((H, W)).astype(np.float32)
+    right = np.roll(left, -true_d, axis=1)  # uniform disparity scene
+    disp = np.asarray(dense_sgbm_disparity(jnp.asarray(left), jnp.asarray(right),
+                                           max_disparity=16))
+    v = disp > 0
+    inner = v[:, 20:-4]
+    assert inner.mean() > 0.5
+    err = np.abs(disp[:, 20:-4][inner] - true_d)
+    assert np.median(err) < 0.6
+
+
+def test_sgbm_smooths_weak_texture():
+    from rtabmap_tpu.ops.stereo import dense_bm_disparity, dense_sgbm_disparity
+
+    rng = np.random.default_rng(1)
+    H, W, true_d = 48, 96, 5
+    # strong texture only on sparse rows: BM is ambiguous between them,
+    # SGM's smoothness term propagates the correct disparity
+    left = 0.02 * rng.random((H, W)).astype(np.float32)
+    left[::6] += rng.random((len(range(0, H, 6)), W)).astype(np.float32)
+    right = np.roll(left, -true_d, axis=1)
+    sg = np.asarray(dense_sgbm_disparity(jnp.asarray(left), jnp.asarray(right),
+                                         max_disparity=16))
+    vs = sg > 0
+    acc_sg = (np.abs(sg[:, 20:-4] - true_d)[vs[:, 20:-4]] < 1.0).mean()
+    assert acc_sg > 0.7
