@@ -30,8 +30,8 @@ from rtabmap_tpu.core.frame import FrameFeatures
 from rtabmap_tpu.geometry import camera as C
 from rtabmap_tpu.geometry import transform as T
 from rtabmap_tpu.memory.memory import (
-    LINK_GLOBAL_CLOSURE, LINK_LOCAL_SPACE_CLOSURE, LINK_NEIGHBOR,
-    LINK_USER_CLOSURE, Link, Memory, Signature,
+    LINK_GLOBAL_CLOSURE, LINK_LOCAL_SPACE_CLOSURE, LINK_LOCAL_TIME_CLOSURE,
+    LINK_NEIGHBOR, LINK_USER_CLOSURE, Link, Memory, Signature,
 )
 from rtabmap_tpu.optim import pose_graph as PG
 from rtabmap_tpu.utils.logging import Statistics, Timer, get_logger
@@ -73,6 +73,7 @@ class Rtabmap:
         self.max_error = float(p["RGBD/OptimizeMaxError"])
         self.local_radius = float(p["RGBD/LocalRadius"])
         self.prox_max_paths = int(p["RGBD/ProximityMaxPaths"])
+        self.proximity_by_time = bool(p["RGBD/ProximityByTime"])
         self.time_thr = float(p["Rtabmap/TimeThr"])        # ms, 0 = off
         self.memory_thr = int(p["Rtabmap/MemoryThr"])      # nodes, 0 = off
         self.min_inliers = int(p["Vis/MinInliers"])
@@ -252,6 +253,27 @@ class Rtabmap:
                     self.loop_closure_id = accepted_id
                 else:
                     accepted_id = 0
+
+        # --- C2. proximity by TIME: in multi-session STM overlap, register
+        # the new frame against resident STM nodes from OLDER sessions
+        # (reference: Rtabmap.cpp:1885-1950, RGBD/ProximityByTime)
+        if self.rgbd_mode and self.proximity_by_time:
+            with st.time_stage("Timing/Proximity by time/ms"):
+                n_time = 0
+                for old_id in list(self.memory.stm)[:-1]:
+                    old = self.memory.get(old_id)
+                    if old is None or old.map_id == sig.map_id:
+                        continue
+                    t_ab, pcov, inl = self.memory.compute_transform(
+                        old_id, sig.id, self.cam, self._split_key(),
+                        min_inliers=self.min_inliers)
+                    if t_ab is not None:
+                        lk = Link(old_id, sig.id, LINK_LOCAL_TIME_CLOSURE,
+                                  t_ab, info_from_cov(pcov))
+                        self.memory.add_link(lk)
+                        links_added.append(lk)
+                        n_time += 1
+                st.add("Proximity/Time links added/", n_time)
 
         # --- F. proximity detection (local space closures)
         if self.rgbd_mode and not small_displacement and self.local_radius > 0:
