@@ -122,3 +122,53 @@ def knn_blocked(query, base, k: int, block: int = 8192,
     init = (jnp.full((Q, k), inf), jnp.zeros((Q, k), jnp.int32))
     (d, i), _ = jax.lax.scan(body, init, jnp.arange(nblocks))
     return d, i.astype(jnp.int32)
+
+
+# ------------------------------------------------------------------------ GMS
+
+
+def gms_filter(uv_a, uv_b_matched, match_valid, shape_a, shape_b,
+               grid: int = 8, threshold_factor: float = 6.0):
+    """Grid-based Motion Statistics match verification (reference:
+    RegistrationVis Vis/CorNNType=5..7 via the vendored gms_matcher,
+    corelib/src/gms_matcher.h; GMS/ThresholdFactor=6). Idea: true matches
+    concentrate in consistent cell pairs; a match survives when its 3x3
+    cell-pair neighborhood holds more matches than alpha*sqrt(mean support).
+
+    uv_a (K,2) keypoints in A, uv_b_matched (K,2) their matched positions
+    in B, shapes (H, W). One scatter-add + one 3x3 box filter — no loops.
+    """
+    Ha, Wa = shape_a
+    Hb, Wb = shape_b
+    ca = (jnp.clip(uv_a[:, 1] * grid / Ha, 0, grid - 1).astype(jnp.int32) * grid
+          + jnp.clip(uv_a[:, 0] * grid / Wa, 0, grid - 1).astype(jnp.int32))
+    cb = (jnp.clip(uv_b_matched[:, 1] * grid / Hb, 0, grid - 1).astype(jnp.int32) * grid
+          + jnp.clip(uv_b_matched[:, 0] * grid / Wb, 0, grid - 1).astype(jnp.int32))
+    G = grid * grid
+    pair = jnp.where(match_valid, ca * G + cb, G * G)
+    counts = jnp.zeros((G * G + 1,)).at[pair].add(1.0, mode="drop")[:-1]
+    counts = counts.reshape(G, G)                     # (A cell, B cell)
+    counts4 = counts.reshape(grid, grid, grid, grid)  # (ay, ax, by, bx)
+    # 3x3 neighborhood aggregation over BOTH grids (motion smoothness)
+    k = jnp.ones((3, 3))
+
+    def box2d(x):  # over the last two axes
+        return jax.lax.conv_general_dilated(
+            x.reshape(-1, 1, grid, grid), k.reshape(1, 1, 3, 3), (1, 1),
+            "SAME", dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        ).reshape(x.shape)
+
+    s = box2d(counts4)                              # aggregate over B cells
+    s = jnp.moveaxis(box2d(jnp.moveaxis(s, (0, 1), (2, 3))), (0, 1), (2, 3))
+    # per-region threshold (GMS paper): tau_i = alpha * sqrt(n_i), n_i =
+    # mean matches per A-cell over the 3x3 neighborhood of the match's cell
+    per_a = jnp.sum(counts, axis=1).reshape(1, grid, grid)
+    region = jax.lax.conv_general_dilated(
+        per_a[None], k.reshape(1, 1, 3, 3), (1, 1), "SAME",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))[0, 0]
+    ai = jnp.clip(ca, 0, G - 1)
+    bi = jnp.clip(cb, 0, G - 1)
+    n_i = region.reshape(G)[ai] / 9.0
+    thr = threshold_factor * jnp.sqrt(jnp.maximum(n_i, 1e-6))
+    support = s.reshape(G, G)[ai, bi]
+    return match_valid & (support >= thr)

@@ -54,9 +54,16 @@ def rigid_from_correspondences(src, dst, w):
 
 def _sample_indices(key, valid, n_hyp: int, n_pts: int):
     """(n_hyp, n_pts) indices drawn from valid slots (repeats possible —
-    degenerate samples simply produce zero-inlier models)."""
-    logits = jnp.where(valid, 0.0, -1e9)
-    return jax.random.categorical(key, logits[None, :], shape=(n_hyp, n_pts))
+    degenerate samples simply produce zero-inlier models).
+
+    Draws n_hyp*n_pts raw uints and maps them onto the compacted valid-slot
+    table — categorical() would synthesize a (n_hyp, n_pts, K) Gumbel
+    field, and that threefry volume was the measured per-hypothesis cost
+    of the whole RANSAC stage on TPU."""
+    order = jnp.argsort(~valid)  # stable: valid slots first
+    nv = jnp.maximum(jnp.sum(valid), 1)
+    r = jax.random.randint(key, (n_hyp, n_pts), 0, 1 << 30)
+    return order[r % nv]
 
 
 # ------------------------------------------------------------------ 3D -> 3D
