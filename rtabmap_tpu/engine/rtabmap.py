@@ -74,6 +74,7 @@ class Rtabmap:
         self.local_radius = float(p["RGBD/LocalRadius"])
         self.prox_max_paths = int(p["RGBD/ProximityMaxPaths"])
         self.proximity_by_time = bool(p["RGBD/ProximityByTime"])
+        self.neighbor_link_refining = bool(p["RGBD/NeighborLinkRefining"])
         self.time_thr = float(p["Rtabmap/TimeThr"])        # ms, 0 = off
         self.memory_thr = int(p["Rtabmap/MemoryThr"])      # nodes, 0 = off
         self.min_inliers = int(p["Vis/MinInliers"])
@@ -149,7 +150,7 @@ class Rtabmap:
 
     # ---------------------------------------------------------------- process
     def process(self, frame: FrameFeatures, odom_pose, covariance=None,
-                stamp: float = 0.0) -> Statistics:
+                stamp: float = 0.0, scan=None) -> Statistics:
         st = Statistics()
         timer = Timer()
         odom_pose = np.asarray(odom_pose, np.float32)
@@ -171,12 +172,28 @@ class Rtabmap:
         with st.time_stage("Timing/Memory update/ms"):
             prev_id = self.memory.stm[-1] if self.memory.stm else None
             sig = self.memory.create_signature(frame, odom_pose, stamp)
+            sig.scan = scan
             neighbor_link = None
             if prev_id is not None:
                 prev = self.memory.get(prev_id)
                 t_ab = np.asarray(T.relative(jnp.asarray(prev.pose), jnp.asarray(odom_pose)))
+                link_cov = cov
+                # neighbor-link refining: polish the odometry link with scan
+                # ICP when both nodes carry scans (reference:
+                # RGBD/NeighborLinkRefining, Rtabmap.cpp:1626)
+                if (self.neighbor_link_refining and scan is not None
+                        and prev.scan is not None):
+                    from rtabmap_tpu.ops.icp import register_scans
+
+                    res, icp_cov = register_scans(
+                        scan.xyz(), scan.valid, prev.scan.xyz(),
+                        prev.scan.valid, guess=jnp.asarray(t_ab))
+                    if bool(res.valid):
+                        t_ab = np.asarray(res.transform)
+                        link_cov = np.asarray(icp_cov)
+                        st.add("Odometry/Refined by scan/", 1)
                 neighbor_link = Link(prev_id, sig.id, LINK_NEIGHBOR, t_ab,
-                                     info_from_cov(cov))
+                                     info_from_cov(link_cov))
             rehearsed = self.memory.rehearsal(sig)
             self.memory.add_to_stm(sig, neighbor_link)
             st.add("Memory/RehearsalMerged", float(rehearsed))

@@ -77,6 +77,7 @@ class Signature:
     slot: int = -1               # WM device slot (-1 = not resident)
     in_ltm: bool = False
     label: str = ""
+    scan: Optional[object] = None           # LaserScan (not persisted to WM slabs)
 
 
 from functools import partial
