@@ -29,7 +29,15 @@ class IcpResult(NamedTuple):
 
 
 def _nn_blocked(src, dst, dst_valid, block: int = 2048):
-    """For each src point: index+dist2 of nearest dst point."""
+    """For each src point: index+dist2 of nearest dst point.
+
+    On TPU with aligned sizes this dispatches to the fused Pallas kernel
+    (ops/pallas/nn3d.py) — the lax.scan fallback below carries its running
+    best through HBM every block."""
+    from rtabmap_tpu.ops.pallas.nn3d import nn3d_ok, pallas_nn3d
+
+    if nn3d_ok(src.shape[0], dst.shape[0]):
+        return pallas_nn3d(src.T, dst.T, dst_valid)
     n = dst.shape[0]
     nb = (n + block - 1) // block
     pad = nb * block - n

@@ -42,3 +42,33 @@ def test_pallas_knn2_single_block():
     dr, ir = knn_blocked(q, s, k=2, block=512)
     dp, ip = pallas_knn2(q, s, jnp.ones(512, bool), block=512, interpret=True)
     np.testing.assert_allclose(np.asarray(dr), np.asarray(dp))
+
+
+def test_pallas_nn3d_matches_blocked():
+    from rtabmap_tpu.ops.icp import _nn_blocked
+    from rtabmap_tpu.ops.pallas.nn3d import pallas_nn3d
+
+    rng = np.random.default_rng(3)
+    Q, N = 512, 2048
+    src = jnp.asarray(rng.normal(size=(Q, 3)).astype(np.float32))
+    dst = jnp.asarray(rng.normal(size=(N, 3)).astype(np.float32))
+    valid = np.ones(N, bool)
+    valid[100:500] = False
+    dr, ir = _nn_blocked(src, dst, jnp.asarray(valid))
+    dp, ip = pallas_nn3d(src.T, dst.T, jnp.asarray(valid), interpret=True)
+    # kernel uses the direct (q-b)^2 form; the fallback's s2-2sb+b2 form
+    # cancels catastrophically, so compare loosely and check indices
+    np.testing.assert_allclose(np.asarray(dr), np.asarray(dp), rtol=1e-4, atol=1e-5)
+    same = np.asarray(ir) == np.asarray(ip)
+    assert same.mean() > 0.99  # near-ties may differ
+
+
+def test_pallas_nn3d_all_invalid():
+    from rtabmap_tpu.ops.pallas.nn3d import pallas_nn3d
+
+    rng = np.random.default_rng(4)
+    src = jnp.asarray(rng.normal(size=(128, 3)).astype(np.float32))
+    dst = jnp.asarray(rng.normal(size=(512, 3)).astype(np.float32))
+    dp, _ = pallas_nn3d(src.T, dst.T, jnp.zeros(512, bool), qblock=128,
+                        dblock=512, interpret=True)
+    assert np.all(np.isinf(np.asarray(dp)))
