@@ -622,6 +622,69 @@ class Rtabmap:
             self._optimize(Statistics(), [])
         return refined
 
+    def reject_last_loop_closure(self) -> bool:
+        """Remove the most recent accepted global/proximity closure and
+        re-optimize (reference: Rtabmap::rejectLastLoopClosure
+        Rtabmap.cpp:5043 — the user-facing undo for a bad closure)."""
+        closure_types = (LINK_GLOBAL_CLOSURE, LINK_LOCAL_SPACE_CLOSURE,
+                         LINK_LOCAL_TIME_CLOSURE, LINK_USER_CLOSURE)
+        best = None
+        for sid, sig in self.memory.signatures.items():
+            for j, lk in sig.links.items():
+                if lk.type in closure_types:
+                    key = max(lk.from_id, lk.to_id)
+                    if best is None or key > best[0]:
+                        best = (key, lk.from_id, lk.to_id)
+        if best is None:
+            return False
+        self.memory.remove_link(best[1], best[2])
+        self.loop_closure_id = 0
+        self._optimize(Statistics(), [])
+        return True
+
+    def repair_graph(self, max_removals: int = 5) -> int:
+        """Delete old closure links that keep the optimized graph above the
+        RGBD/OptimizeMaxError gate (reference: Rtabmap::repairGraph
+        Rtabmap.cpp:5558 — triggered when new closures are repeatedly
+        rejected because an OLD wrong link is pinning the graph). Greedy:
+        while the worst edge-error ratio exceeds the gate, remove the
+        closure link with the largest error and re-optimize."""
+        closure_types = (LINK_GLOBAL_CLOSURE, LINK_LOCAL_SPACE_CLOSURE,
+                         LINK_LOCAL_TIME_CLOSURE, LINK_USER_CLOSURE)
+        removed = 0
+        for _ in range(max_removals):
+            ids, poses, ef, et, meas, info = self._build_graph()
+            if len(ids) < 2 or len(ef) < 1:
+                break
+            g = PG.make_graph(jnp.asarray(np.asarray(poses)),
+                              jnp.asarray(np.asarray(ef)),
+                              jnp.asarray(np.asarray(et)),
+                              jnp.asarray(np.asarray(meas)),
+                              jnp.asarray(np.asarray(info)),
+                              root=len(ids) - 1)
+            out, _ = PG.optimize(g, iters=12)
+            lin_ratio, ang_ratio = PG.edge_errors(out)
+            err = np.maximum(np.asarray(lin_ratio), np.asarray(ang_ratio))
+            if self.max_error <= 0 or float(err.max()) <= self.max_error:
+                break
+            # find worst CLOSURE edge (never remove odometry neighbors)
+            id_arr = list(ids)
+            order = np.argsort(-err)
+            target = None
+            for e in order:
+                a, b = id_arr[int(ef[e])], id_arr[int(et[e])]
+                lk = self.memory.get(a).links.get(b) if self.memory.get(a) else None
+                if lk is not None and lk.type in closure_types:
+                    target = (a, b)
+                    break
+            if target is None:
+                break
+            self.memory.remove_link(*target)
+            removed += 1
+        if removed:
+            self._optimize(Statistics(), [])
+        return removed
+
     def add_user_link(self, from_id: int, to_id: int, transform=None) -> bool:
         """User-provided closure (reference: Rtabmap::addLink)."""
         if transform is None:

@@ -90,3 +90,24 @@ def test_graph_utils():
     assert len(near) == 5
     kept = G.radius_poses_filtering(poses, radius=0.5)
     assert len(kept) == 1
+
+
+@pytest.mark.slow
+def test_repair_graph_and_reject_last():
+    from rtabmap_tpu.memory.memory import LINK_USER_CLOSURE, Link
+
+    slam, poses = build_map(10)
+    n_links_before = sum(len(s.links) for s in slam.memory.signatures.values())
+    # inject a WRONG closure: claims node 2 and node 8 coincide (they don't)
+    bad = Link(2, 8, LINK_USER_CLOSURE, np.eye(3, 4, dtype=np.float32),
+               np.eye(6, dtype=np.float32) * 100.0)
+    slam.memory.add_link(bad)
+    removed = slam.repair_graph()
+    assert removed >= 1
+    assert 8 not in slam.memory.get(2).links
+
+    # reject_last_loop_closure removes the newest closure link
+    assert slam.add_user_link(3, 7)
+    assert 7 in slam.memory.get(3).links
+    assert slam.reject_last_loop_closure()
+    assert 7 not in slam.memory.get(3).links
