@@ -150,7 +150,8 @@ class Rtabmap:
 
     # ---------------------------------------------------------------- process
     def process(self, frame: FrameFeatures, odom_pose, covariance=None,
-                stamp: float = 0.0, scan=None) -> Statistics:
+                stamp: float = 0.0, scan=None,
+                user_data: Optional[bytes] = None) -> Statistics:
         st = Statistics()
         timer = Timer()
         odom_pose = np.asarray(odom_pose, np.float32)
@@ -173,6 +174,7 @@ class Rtabmap:
             prev_id = self.memory.stm[-1] if self.memory.stm else None
             sig = self.memory.create_signature(frame, odom_pose, stamp)
             sig.scan = scan
+            sig.user_data = user_data
             neighbor_link = None
             if prev_id is not None:
                 prev = self.memory.get(prev_id)

@@ -168,6 +168,7 @@ class Database:
             "word_ids": _pack(sig.word_ids), "descriptors": _pack(sig.desc),
             "keypoints": _pack(sig.uv), "points3d": _pack(sig.pts3d),
             "valid3d": _pack(sig.valid3d), "links": links,
+            "user_data": getattr(sig, "user_data", None),
         }
 
     def _save_signature_now(self, row):
@@ -180,10 +181,11 @@ class Database:
             )
             self._conn.execute(
                 "INSERT OR REPLACE INTO Data"
-                " (id,word_ids,descriptors,keypoints,points3d,valid3d)"
-                " VALUES (?,?,?,?,?,?)",
+                " (id,word_ids,descriptors,keypoints,points3d,valid3d,user_data)"
+                " VALUES (?,?,?,?,?,?,?)",
                 (row["id"], row["word_ids"], row["descriptors"],
-                 row["keypoints"], row["points3d"], row["valid3d"]),
+                 row["keypoints"], row["points3d"], row["valid3d"],
+                 row["user_data"]),
             )
             for f, t, ty, tr, inf in row["links"]:
                 self._conn.execute(
@@ -202,7 +204,7 @@ class Database:
             if node is None:
                 return None
             data = self._conn.execute(
-                "SELECT word_ids,descriptors,keypoints,points3d,valid3d"
+                "SELECT word_ids,descriptors,keypoints,points3d,valid3d,user_data"
                 " FROM Data WHERE id=?", (sid,)
             ).fetchone()
             links = self._conn.execute(
@@ -219,6 +221,7 @@ class Database:
             sig.uv = _unpack(data[2])
             sig.pts3d = _unpack(data[3])
             sig.valid3d = _unpack(data[4])
+            sig.user_data = data[5]
         for f, t, ty, tr, inf in links:
             sig.links[t] = Link(f, t, ty, _unpack(tr), _unpack(inf))
         sig.in_ltm = True

@@ -78,6 +78,9 @@ class Signature:
     in_ltm: bool = False
     label: str = ""
     scan: Optional[object] = None           # LaserScan (not persisted to WM slabs)
+    user_data: Optional[bytes] = None       # opaque payload (reference:
+                                            # SensorData::userData, the
+                                            # WifiMapping example's channel)
 
 
 from functools import partial

@@ -91,3 +91,20 @@ def test_checkpoint_resume_multisession(tmp_path):
     assert found
     slam2.close()
     db2.close()
+
+
+def test_user_data_roundtrip(tmp_path):
+    from rtabmap_tpu.memory.memory import Signature
+
+    path = str(tmp_path / "ud.db")
+    db = Database(path, async_writes=False)
+    sig = Signature(id=1, map_id=0, stamp=0.0,
+                    pose=np.eye(3, 4, dtype=np.float32))
+    sig.user_data = b"wifi:-67dBm@00:11:22"
+    db.save_signature(sig)
+    db.flush()
+    db.close()
+    db2 = Database(path, async_writes=False)
+    got = db2.load_signature(1)
+    assert got.user_data == b"wifi:-67dBm@00:11:22"
+    db2.close()
