@@ -46,7 +46,7 @@ class OdometryF2F:
         )
         self.lost = False
 
-    def process(self, frame: FrameFeatures):
+    def process(self, frame: FrameFeatures, imu_quat=None):
         if self.keyframe is None:
             self.keyframe = frame
             self.keyframe_pose = self.pose
@@ -64,6 +64,10 @@ class OdometryF2F:
             return None, jnp.eye(6) * 9999.0, info
         self.lost = False
         new_pose = T.compose(self.keyframe_pose, res.transform)
+        if imu_quat is not None:
+            from rtabmap_tpu.odometry.imu_filter import apply_gravity_alignment
+
+            new_pose = apply_gravity_alignment(new_pose, jnp.asarray(imu_quat))
         self.vel = 0.7 * T.se3_log(T.relative(self.pose, new_pose)) + 0.3 * self.vel
         self.pose = new_pose
 

@@ -193,10 +193,16 @@ class OdometryF2M:
         )
         self.lost = False
 
-    def process(self, frame: FrameFeatures):
+    def process(self, frame: FrameFeatures, imu_quat=None):
         self._key, sub = jax.random.split(self._key)
         self.state, res = self._step(self.state, frame, sub)
         ok = bool(res.success)
+        if ok and imu_quat is not None:
+            from rtabmap_tpu.odometry.imu_filter import apply_gravity_alignment
+
+            aligned = apply_gravity_alignment(res.pose, jnp.asarray(imu_quat))
+            self.state = self.state._replace(pose=aligned)
+            res = res._replace(pose=aligned)
         self.lost = not ok
         info = {
             "matches": int(res.num_matches),

@@ -107,3 +107,17 @@ def gravity_aligned_correction(q):
     rpy = T.to_xyzrpy(P)
     rp_only = rpy.at[..., 5].set(0.0).at[..., :3].set(0.0)
     return T.from_xyzrpy(rp_only)
+
+
+@jax.jit
+def apply_gravity_alignment(pose, imu_quat):
+    """Replace the pose's roll/pitch with the IMU's while keeping yaw and
+    translation (reference: Odometry::process gravity alignment,
+    Odometry.cpp:311 region — the AHRS filter owns roll/pitch, vision
+    owns yaw + translation)."""
+    from rtabmap_tpu.geometry import transform as T
+
+    rpy = T.to_xyzrpy(pose)
+    rpy_imu = T.to_xyzrpy(T.from_quaternion(imu_quat))
+    merged = rpy.at[..., 3].set(rpy_imu[..., 3]).at[..., 4].set(rpy_imu[..., 4])
+    return T.from_xyzrpy(merged)

@@ -64,3 +64,38 @@ def test_fundamental_ransac_and_check():
     uv_rand = jax.random.uniform(k3, uv_b.shape, minval=0, maxval=640)
     ok2, _, _ = EP.check_hypothesis(uv_a, uv_rand, valid, jax.random.PRNGKey(2))
     assert not bool(ok2)
+
+
+def test_gravity_alignment_merges_rp_keeps_yaw():
+    from rtabmap_tpu.geometry import transform as T
+    from rtabmap_tpu.odometry.imu_filter import apply_gravity_alignment
+
+    pose = T.from_xyzrpy(jnp.asarray([1.0, 2.0, 3.0, 0.1, -0.05, 0.7]))
+    imu_q = T.to_quaternion(T.from_xyzrpy(jnp.asarray([0, 0, 0, 0.02, 0.03, 1.5])))
+    out = np.asarray(T.to_xyzrpy(apply_gravity_alignment(pose, imu_q)))
+    np.testing.assert_allclose(out[:3], [1.0, 2.0, 3.0], atol=1e-5)
+    np.testing.assert_allclose(out[3], 0.02, atol=1e-5)   # roll from IMU
+    np.testing.assert_allclose(out[4], 0.03, atol=1e-5)   # pitch from IMU
+    np.testing.assert_allclose(out[5], 0.7, atol=1e-5)    # yaw kept
+
+
+def test_f2f_accepts_imu_quat():
+    from rtabmap_tpu.core.frame import extract_features
+    from rtabmap_tpu.datasets import synthetic as S
+    from rtabmap_tpu.geometry import camera as C
+    from rtabmap_tpu.geometry import transform as T
+    from rtabmap_tpu.odometry.f2f import OdometryF2F
+
+    cam = C.CameraModel.make(160.0, 160.0, 79.5, 59.5, 160, 120)
+    poses = S.loop_trajectory(64)[:3]
+    grays, depths = S.render_sequence(poses, cam)
+    ext = jax.jit(lambda g, d: extract_features(g, d, cam, 256))
+    odom = OdometryF2F(cam)
+    q_id = jnp.asarray([0.0, 0.0, 0.0, 1.0])
+    odom.process(ext(grays[0], depths[0]), imu_quat=q_id)
+    pose, cov, info = odom.process(ext(grays[1], depths[1]), imu_quat=q_id)
+    assert pose is not None
+    # identity IMU forces roll/pitch to 0 while translation/yaw survive
+    rpy = np.asarray(T.to_xyzrpy(pose))
+    np.testing.assert_allclose(rpy[3], 0.0, atol=1e-5)
+    np.testing.assert_allclose(rpy[4], 0.0, atol=1e-5)
