@@ -795,6 +795,23 @@ class Rtabmap:
     def get_graph(self):
         return self.memory.get_constraints(session_only=False)
 
+    def write_log_files(self, directory: str):
+        """Dump the per-tick statistics history as CSV (reference:
+        Rtabmap::setupLogFiles LogF.txt/LogI.txt, Rtabmap.cpp:195 — float
+        timings and int counters per process() call)."""
+        import csv
+        import os
+
+        keys = sorted({k for st in self.stats_history for k in st.data})
+        path = os.path.join(directory, "LogF.csv")
+        with open(path, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["ref_id", "loop_id"] + keys)
+            for st in self.stats_history:
+                w.writerow([st.ref_id, st.loop_closure_id]
+                           + [st.get(k, 0.0) for k in keys])
+        return path
+
     def close(self):
         """Persist the full map state (the database IS the checkpoint —
         reference: Memory::close + saveOptimizedPoses, Memory.cpp:2486)."""

@@ -94,3 +94,26 @@ def test_db_reader_and_recovery(tmp_path):
     admin = db3.load_admin()
     assert len(admin["optimized_poses"]) == 5
     db3.close()
+
+
+def test_write_log_files(tmp_path):
+    import jax
+    from rtabmap_tpu.core.frame import extract_features
+    from rtabmap_tpu.datasets import synthetic as S
+    from rtabmap_tpu.engine.rtabmap import Rtabmap
+    from rtabmap_tpu.geometry import camera as C
+    from rtabmap_tpu.utils.params import Parameters
+
+    cam = C.CameraModel.make(160.0, 160.0, 79.5, 59.5, 160, 120)
+    poses = S.loop_trajectory(64)[:3]
+    grays, depths = S.render_sequence(poses, cam)
+    ext = jax.jit(lambda g, d: extract_features(g, d, cam, 256))
+    slam = Rtabmap(cam, Parameters({"Rtabmap/DetectionRate": 0}),
+                   node_capacity=32, words_per_frame=256)
+    for i in range(3):
+        slam.process(ext(grays[i], depths[i]), np.asarray(poses[i]),
+                     np.eye(6) * 1e-4, stamp=float(i))
+    path = slam.write_log_files(str(tmp_path))
+    lines = open(path).read().strip().splitlines()
+    assert len(lines) == 4  # header + 3 ticks
+    assert "Timing/Total/ms" in lines[0]
