@@ -166,3 +166,44 @@ def sharded_pcg_step(mesh: Mesh, poses, edges_from, edges_to, edges_meas,
         out_specs=P(),
     )
     return fn(poses, edges_from, edges_to, edges_meas, edges_info, edge_valid)
+
+
+# -------------------------------------------------------- data-parallel VO
+
+
+def sharded_vo_step(mesh: Mesh, grays_a, depths_a, grays_b, depths_b, keys,
+                    cam, max_kp: int = 384, axis: str = "shard"):
+    """Data-parallel visual-odometry fleet: a batch of frame pairs (one per
+    stream — multi-robot / multi-camera serving) sharded over the mesh.
+
+    The reference has no multi-stream story at all (one process, one
+    camera); this is the deployment shape the TPU build adds: each chip
+    runs the identical jitted VO step on its shard of the stream batch —
+    pure DP, no collectives in the step itself.
+
+    Returns (poses (B,3,4), n_inliers (B,)).
+    """
+    from rtabmap_tpu.core.frame import extract_features
+    from rtabmap_tpu.ops import matching as M
+    from rtabmap_tpu.ops import ransac as R
+
+    def one(gray_a, depth_a, gray_b, depth_b, key):
+        a = extract_features(gray_a, depth_a, cam, max_kp)
+        b = extract_features(gray_b, depth_b, cam, max_kp)
+        m_ba = M.match_nndr(b.desc, b.valid, a.desc, a.valid & a.valid3d)
+        m_ab = M.match_nndr(a.desc, a.valid & a.valid3d, b.desc, b.valid)
+        mutual = M.cross_check(m_ba, m_ab)
+        res = R.ransac_pnp(a.pts3d[m_ba.idx], b.uv, mutual, cam, key,
+                           iters=192, reproj_px=3.0,
+                           pts3d_query=jnp.where(b.valid3d[:, None], b.pts3d, 0.0))
+        return res.transform, res.num_inliers
+
+    def local(ga, da, gb, db, ks):
+        return jax.vmap(one)(ga, da, gb, db, ks)
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=(P(axis), P(axis)),
+    )
+    return fn(grays_a, depths_a, grays_b, depths_b, keys)

@@ -68,3 +68,29 @@ def test_sharded_pcg_step_improves_chi2():
         poses = step(poses)
     chi1 = float(PG.graph_chi2(g._replace(poses=poses)))
     assert chi1 < chi0 * 0.2, (chi0, chi1)
+
+
+def test_sharded_vo_fleet():
+    from rtabmap_tpu.datasets import synthetic as S
+    from rtabmap_tpu.geometry import camera as C
+    from rtabmap_tpu.geometry import transform as T
+
+    cam = C.CameraModel.make(160.0, 160.0, 79.5, 59.5, 160, 120)
+    poses = S.loop_trajectory(96)[:2]
+    grays, depths = S.render_sequence(poses, cam)
+    B = 8  # one stream per virtual device
+    ga = jnp.tile(grays[0][None], (B, 1, 1))
+    da = jnp.tile(depths[0][None], (B, 1, 1))
+    gb = jnp.tile(grays[1][None], (B, 1, 1))
+    db = jnp.tile(depths[1][None], (B, 1, 1))
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    mesh = SH.make_mesh(8)
+    out_poses, n_inl = SH.sharded_vo_step(mesh, ga, da, gb, db, keys, cam,
+                                          max_kp=256)
+    assert out_poses.shape == (B, 3, 4)
+    assert np.asarray(n_inl).min() >= 12
+    # every stream recovers (roughly) the same relative motion as GT
+    rel_gt = np.asarray(T.relative(poses[0], poses[1]))
+    for b in range(B):
+        err = np.linalg.norm(np.asarray(out_poses[b])[:, 3] - rel_gt[:, 3])
+        assert err < 0.05, (b, err)
