@@ -393,7 +393,80 @@ def tool_matcher(argv: List[str]):
             "ok": bool(ok)}
 
 
+def tool_calibration(argv: List[str]):
+    """Camera calibration from chessboard images
+    (reference: tools/Calibration + guilib CalibrationDialog.cpp).
+    Usage: calibration <image_dir> <cols>x<rows> <square_m> [out.json]
+           calibration --stereo <left_dir> <right_dir> <cols>x<rows> <square_m> [out.json]
+    <cols>x<rows> counts interior corners."""
+    from rtabmap_tpu.ops import calibration as CAL
+    from rtabmap_tpu.sensors.capture import CameraImages
+
+    stereo = argv and argv[0] == "--stereo"
+    if stereo:
+        left_dir, right_dir = argv[1], argv[2]
+        pat_s, square = argv[3], float(argv[4])
+        out = argv[5] if len(argv) > 5 else None
+    else:
+        left_dir, right_dir = argv[0], None
+        pat_s, square = argv[1], float(argv[2])
+        out = argv[3] if len(argv) > 3 else None
+    cols, rows = (int(x) for x in pat_s.lower().split("x"))
+    pattern = (cols, rows)
+
+    def corners_from_dir(d):
+        pts, size = [], None
+        for sd in CameraImages(d):
+            g = np.asarray(sd.gray)
+            size = (g.shape[1], g.shape[0])
+            c = CAL.find_chessboard(g, pattern)
+            if c is not None:
+                pts.append(c.astype(np.float32))
+        return pts, size
+
+    obj = CAL.chessboard_object_points(pattern, square)
+    if stereo:
+        lp, size = corners_from_dir(left_dir)
+        rp, _ = corners_from_dir(right_dir)
+        n = min(len(lp), len(rp))
+        if n < 3:
+            print(f"not enough detections (L={len(lp)} R={len(rp)})")
+            return 1
+        res = CAL.stereo_calibrate(obj, lp[:n], rp[:n], size)
+        doc = {
+            "left": {"fx": float(res.left.camera.fx), "fy": float(res.left.camera.fy),
+                     "cx": float(res.left.camera.cx), "cy": float(res.left.camera.cy),
+                     "dist": np.asarray(res.left.camera.dist).tolist()},
+            "right": {"fx": float(res.right.camera.fx), "fy": float(res.right.camera.fy),
+                      "cx": float(res.right.camera.cx), "cy": float(res.right.camera.cy),
+                      "dist": np.asarray(res.right.camera.dist).tolist()},
+            "extrinsics": res.extrinsics.tolist(),
+            "baseline_m": res.baseline, "rms_px": res.rms,
+            "image_size": list(size), "views": n,
+        }
+    else:
+        pts, size = corners_from_dir(left_dir)
+        if len(pts) < 3:
+            print(f"not enough detections ({len(pts)}; need >= 3 views)")
+            return 1
+        res = CAL.calibrate_camera(obj, pts, size)
+        doc = {
+            "fx": float(res.camera.fx), "fy": float(res.camera.fy),
+            "cx": float(res.camera.cx), "cy": float(res.camera.cy),
+            "dist": np.asarray(res.camera.dist).tolist(),
+            "rms_px": res.rms, "per_view_rms_px": res.per_view_rms.tolist(),
+            "image_size": list(size), "views": len(pts),
+        }
+    print(json.dumps(doc, indent=2))
+    if out:
+        with open(out, "w") as f:
+            json.dump(doc, f, indent=2)
+        print(f"wrote {out}")
+    return doc
+
+
 TOOLS = {
+    "calibration": tool_calibration,
     "rgbd_dataset": tool_rgbd_dataset,
     "kitti_dataset": tool_kitti_dataset,
     "euroc_dataset": tool_euroc_dataset,
