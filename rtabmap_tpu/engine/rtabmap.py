@@ -151,7 +151,7 @@ class Rtabmap:
     # ---------------------------------------------------------------- process
     def process(self, frame: FrameFeatures, odom_pose, covariance=None,
                 stamp: float = 0.0, scan=None,
-                user_data: Optional[bytes] = None) -> Statistics:
+                user_data: Optional[bytes] = None, grid=None) -> Statistics:
         st = Statistics()
         timer = Timer()
         odom_pose = np.asarray(odom_pose, np.float32)
@@ -175,6 +175,7 @@ class Rtabmap:
             sig = self.memory.create_signature(frame, odom_pose, stamp)
             sig.scan = scan
             sig.user_data = user_data
+            sig.grid = grid
             neighbor_link = None
             if prev_id is not None:
                 prev = self.memory.get(prev_id)

@@ -226,3 +226,67 @@ class CloudMap:
             _, keep = np.unique(q, axis=0, return_index=True)
             cloud = cloud[np.sort(keep)]
         return cloud
+
+
+def cleanup_local_grids(poses: Dict[int, np.ndarray],
+                        grids: Dict[int, LocalGrid],
+                        cell_size: float = 0.05, size_m: float = 40.0,
+                        radius: int = 1,
+                        filter_ground: bool = False):
+    """Filter each node's local-grid obstacle cells against the assembled
+    optimized map: obstacles whose map cells (and their ``radius``
+    neighborhood) are FREE in the final map are dynamic objects — drop
+    them (reference: Rtabmap::cleanupLocalGrids, Rtabmap.cpp:6467 +
+    tools/CleanupLocalGrids).
+
+    Returns (cleaned grids dict, total cells removed).
+    """
+    occ = OccupancyGrid(cell_size=cell_size, size_m=size_m)
+    for nid, g in grids.items():
+        if nid in poses:
+            occ.update(nid, poses[nid], g)
+    # "dynamic-filterable" = the consensus says more-likely-free even though
+    # some node voted obstacle there (looser than the export free threshold:
+    # a transient object leaves one obstacle vote against many empty votes)
+    grid_map = occ.to_occupancy(free_thr=0.45)
+    free = grid_map == 0
+    # an obstacle falls to the dynamic filter only when its whole
+    # neighborhood is free: erode the free mask by ``radius``
+    for _ in range(radius):
+        er = free.copy()
+        er[1:] &= free[:-1]
+        er[:-1] &= free[1:]
+        er[:, 1:] &= free[:, :-1]
+        er[:, :-1] &= free[:, 1:]
+        free = er
+    return _cleanup_against(free, occ, poses, grids, filter_ground)
+
+
+def _cleanup_against(free: np.ndarray, occ: "OccupancyGrid",
+                     poses, grids, filter_ground: bool):
+    removed = 0
+    out: Dict[int, LocalGrid] = {}
+    n = occ.n
+    for nid, g in grids.items():
+        if nid not in poses:
+            out[nid] = g
+            continue
+        pose = poses[nid]
+
+        def keep_mask(xy, valid):
+            cx, cy, ok = occ._to_cells(pose, jnp.asarray(xy), jnp.asarray(valid))
+            cx, cy, ok = np.asarray(cx), np.asarray(cy), np.asarray(ok)
+            in_free = np.zeros(len(cx), bool)
+            m = ok
+            in_free[m] = free[cy[m], cx[m]]
+            return np.asarray(valid) & ~in_free
+
+        ob_keep = keep_mask(g.obstacles, g.obstacles_valid)
+        removed += int(np.asarray(g.obstacles_valid).sum() - ob_keep.sum())
+        gr_valid = np.asarray(g.ground_valid)
+        if filter_ground:
+            gr_keep = keep_mask(g.ground, g.ground_valid)
+            removed += int(gr_valid.sum() - gr_keep.sum())
+            gr_valid = gr_keep
+        out[nid] = g._replace(obstacles_valid=ob_keep, ground_valid=gr_valid)
+    return out, removed

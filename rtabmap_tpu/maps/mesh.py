@@ -141,6 +141,44 @@ def read_ply_counts(path: str) -> Tuple[int, int]:
     return nv, nf
 
 
+def read_ply(path: str):
+    """ASCII PLY import (vertices + optional faces/colors), the inverse of
+    :func:`write_ply`. Returns (vertices (N,3), faces (M,3) or None,
+    colors (N,3) uint8 or None)."""
+    props: list = []
+    nv = nf = 0
+    with open(path) as f:
+        in_vertex = False
+        for line in f:
+            t = line.split()
+            if not t:
+                continue
+            if t[0] == "element":
+                in_vertex = t[1] == "vertex"
+                if t[1] == "vertex":
+                    nv = int(t[2])
+                elif t[1] == "face":
+                    nf = int(t[2])
+            elif t[0] == "property" and in_vertex and t[1] != "list":
+                props.append(t[2])
+            elif t[0] == "end_header":
+                break
+        rows = [f.readline().split() for _ in range(nv)]
+        faces = None
+        if nf:
+            faces = np.asarray(
+                [[int(x) for x in f.readline().split()[1:4]] for _ in range(nf)],
+                np.int32)
+    arr = np.asarray(rows, np.float64)
+    ix = [props.index(c) for c in ("x", "y", "z")]
+    verts = arr[:, ix].astype(np.float32)
+    colors = None
+    if "red" in props:
+        ic = [props.index(c) for c in ("red", "green", "blue")]
+        colors = arr[:, ic].astype(np.uint8)
+    return verts, faces, colors
+
+
 # ------------------------------------------------------------ gain compensation
 
 

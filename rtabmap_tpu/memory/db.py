@@ -44,7 +44,8 @@ CREATE TABLE IF NOT EXISTS Data (
     depth BLOB,
     scan BLOB,
     user_data BLOB,
-    calibration BLOB
+    calibration BLOB,
+    grid BLOB
 );
 CREATE TABLE IF NOT EXISTS Link (
     from_id INTEGER NOT NULL,
@@ -97,6 +98,68 @@ def _unpack(blob) -> Optional[np.ndarray]:
     return np.load(io.BytesIO(zlib.decompress(blob)), allow_pickle=False)
 
 
+def _pack_scan(scan) -> Optional[bytes]:
+    """LaserScan -> blob (data, valid, format, max_range, local_transform)."""
+    if scan is None:
+        return None
+    buf = io.BytesIO()
+    np.savez(buf,
+             data=np.asarray(scan.data), valid=np.asarray(scan.valid),
+             fmt=np.int32(scan.format), max_range=np.float32(scan.max_range),
+             lt=(np.zeros((0,)) if scan.local_transform is None
+                 else np.asarray(scan.local_transform)))
+    return zlib.compress(buf.getvalue(), 1)
+
+
+def _unpack_scan(blob):
+    if blob is None:
+        return None
+    from rtabmap_tpu.core.laser_scan import LaserScan
+
+    z = np.load(io.BytesIO(zlib.decompress(blob)), allow_pickle=False)
+    lt = z["lt"]
+    return LaserScan(data=z["data"], valid=z["valid"], format=int(z["fmt"]),
+                     max_range=float(z["max_range"]),
+                     local_transform=None if lt.size == 0 else lt)
+
+
+def _pack_grid(grid) -> Optional[bytes]:
+    """LocalGrid -> blob (masked cells only; capacity restored on load)."""
+    if grid is None:
+        return None
+    g = {k: np.asarray(v) for k, v in grid._asdict().items()}
+    buf = io.BytesIO()
+    np.savez(buf,
+             ground=g["ground"][g["ground_valid"].astype(bool)],
+             obstacles=g["obstacles"][g["obstacles_valid"].astype(bool)],
+             empty=g["empty"][g["empty_valid"].astype(bool)])
+    return zlib.compress(buf.getvalue(), 1)
+
+
+def _unpack_grid(blob, capacity: Optional[int] = None):
+    if blob is None:
+        return None
+    from rtabmap_tpu.maps.grids import LocalGrid
+
+    z = np.load(io.BytesIO(zlib.decompress(blob)), allow_pickle=False)
+
+    def slab(pts):
+        n = len(pts)
+        cap = capacity or max(1, n)
+        out = np.zeros((cap, 2), np.float32)
+        ok = np.zeros((cap,), bool)
+        m = min(n, cap)
+        out[:m] = pts[:m]
+        ok[:m] = True
+        return out, ok
+
+    g, gv = slab(z["ground"])
+    o, ov = slab(z["obstacles"])
+    e, ev = slab(z["empty"])
+    return LocalGrid(ground=g, ground_valid=gv, obstacles=o,
+                     obstacles_valid=ov, empty=e, empty_valid=ev)
+
+
 class Database:
     """Threaded SQLite map store (async writes, sync reads)."""
 
@@ -106,6 +169,12 @@ class Database:
         self.path = path
         self._conn = sqlite3.connect(path, check_same_thread=False)
         self._conn.executescript(_SCHEMA)
+        # schema migration for stores created before the grid/scan columns
+        # (reference keeps versioned migrations in backward_compatibility/)
+        cols = {r[1] for r in self._conn.execute("PRAGMA table_info(Data)")}
+        for col in ("scan", "user_data", "calibration", "grid"):
+            if col not in cols:
+                self._conn.execute(f"ALTER TABLE Data ADD COLUMN {col} BLOB")
         self._conn.commit()
         self._lock = threading.Lock()
         self._q: "queue.Queue" = queue.Queue()
@@ -169,6 +238,8 @@ class Database:
             "keypoints": _pack(sig.uv), "points3d": _pack(sig.pts3d),
             "valid3d": _pack(sig.valid3d), "links": links,
             "user_data": getattr(sig, "user_data", None),
+            "scan": _pack_scan(getattr(sig, "scan", None)),
+            "grid": _pack_grid(getattr(sig, "grid", None)),
         }
 
     def _save_signature_now(self, row):
@@ -181,11 +252,11 @@ class Database:
             )
             self._conn.execute(
                 "INSERT OR REPLACE INTO Data"
-                " (id,word_ids,descriptors,keypoints,points3d,valid3d,user_data)"
-                " VALUES (?,?,?,?,?,?,?)",
+                " (id,word_ids,descriptors,keypoints,points3d,valid3d,user_data,scan,grid)"
+                " VALUES (?,?,?,?,?,?,?,?,?)",
                 (row["id"], row["word_ids"], row["descriptors"],
                  row["keypoints"], row["points3d"], row["valid3d"],
-                 row["user_data"]),
+                 row["user_data"], row["scan"], row["grid"]),
             )
             for f, t, ty, tr, inf in row["links"]:
                 self._conn.execute(
@@ -204,7 +275,7 @@ class Database:
             if node is None:
                 return None
             data = self._conn.execute(
-                "SELECT word_ids,descriptors,keypoints,points3d,valid3d,user_data"
+                "SELECT word_ids,descriptors,keypoints,points3d,valid3d,user_data,scan,grid"
                 " FROM Data WHERE id=?", (sid,)
             ).fetchone()
             links = self._conn.execute(
@@ -222,10 +293,52 @@ class Database:
             sig.pts3d = _unpack(data[3])
             sig.valid3d = _unpack(data[4])
             sig.user_data = data[5]
+            sig.scan = _unpack_scan(data[6])
+            sig.grid = _unpack_grid(data[7])
         for f, t, ty, tr, inf in links:
             sig.links[t] = Link(f, t, ty, _unpack(tr), _unpack(inf))
         sig.in_ltm = True
         return sig
+
+    # ------------------------------------------------------------- raw frames
+    def save_raw_frame(self, sid: int, map_id: int = 0, stamp: float = 0.0,
+                       pose=None, image: Optional[np.ndarray] = None,
+                       depth: Optional[np.ndarray] = None,
+                       calibration: Optional[bytes] = None) -> None:
+        """Record a raw sensor frame (reference: DataRecorder writes
+        SensorData image/depth/calibration into the Data table)."""
+        row = {
+            "id": sid, "map_id": map_id, "stamp": stamp,
+            "pose": _pack(pose if pose is not None
+                          else np.eye(3, 4, dtype=np.float32)),
+            "image": _pack(image), "depth": _pack(depth),
+            "calibration": calibration,
+        }
+        self._submit(self._save_raw_now, row)
+
+    def _save_raw_now(self, row):
+        with self._lock:
+            self._conn.execute(
+                "INSERT OR REPLACE INTO Node (id,map_id,weight,stamp,pose,label)"
+                " VALUES (?,?,0,?,?,'')",
+                (row["id"], row["map_id"], row["stamp"], row["pose"]),
+            )
+            self._conn.execute(
+                "INSERT OR REPLACE INTO Data (id,image,depth,calibration)"
+                " VALUES (?,?,?,?)",
+                (row["id"], row["image"], row["depth"], row["calibration"]),
+            )
+            self._conn.commit()
+
+    def load_raw_frame(self, sid: int):
+        """-> (image, depth, calibration bytes) or None."""
+        with self._lock:
+            r = self._conn.execute(
+                "SELECT image,depth,calibration FROM Data WHERE id=?", (sid,)
+            ).fetchone()
+        if r is None:
+            return None
+        return _unpack(r[0]), _unpack(r[1]), r[2]
 
     def all_node_ids(self) -> List[int]:
         with self._lock:

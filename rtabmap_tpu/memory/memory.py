@@ -81,6 +81,8 @@ class Signature:
     user_data: Optional[bytes] = None       # opaque payload (reference:
                                             # SensorData::userData, the
                                             # WifiMapping example's channel)
+    grid: Optional[object] = None           # LocalGrid occupancy cells
+                                            # (reference: Data table grids)
 
 
 from functools import partial

@@ -16,6 +16,7 @@ from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from rtabmap_tpu.geometry import transform as T
 from rtabmap_tpu.geometry import camera as C
@@ -292,3 +293,33 @@ def ransac_pnp(pts3d, uv, valid, cam: C.CameraModel, key,
         lin_var = ang_var = jnp.maximum(jnp.sqrt(rms), 1e-8)
     cov = jnp.diag(jnp.concatenate([jnp.full((3,), lin_var), jnp.full((3,), ang_var)]))
     return RansacResult(T_wc, inliers, n.astype(jnp.int32), success, cov)
+
+
+def fit_plane_ransac(pts, key, iters: int = 128, threshold: float = 0.02):
+    """Dominant-plane RANSAC over an (N,3) cloud — batched 3-point
+    hypotheses, masked inlier count (reference: ExtractObject's PCL
+    SACMODEL_PLANE stage). Returns (normal (3,), d, inlier mask (N,))
+    with plane n·x + d = 0."""
+    pts = jnp.asarray(pts, jnp.float32)
+    n_pts = pts.shape[0]
+    keys = jax.random.split(key, 1)[0]
+    idx = jax.random.randint(keys, (iters, 3), 0, n_pts)
+    a, b, c = pts[idx[:, 0]], pts[idx[:, 1]], pts[idx[:, 2]]
+    nrm = jnp.cross(b - a, c - a)
+    nn = jnp.linalg.norm(nrm, axis=-1, keepdims=True)
+    nrm = nrm / jnp.maximum(nn, 1e-12)
+    d = -jnp.sum(nrm * a, axis=-1)
+    dist = jnp.abs(pts @ nrm.T + d[None, :])         # (N, iters)
+    counts = (dist < threshold).sum(0) * (nn[:, 0] > 1e-9)
+    best = jnp.argmax(counts)
+    n_best, d_best = nrm[best], d[best]
+    inl = jnp.abs(pts @ n_best + d_best) < threshold
+    # least-squares refit on inliers
+    w = inl.astype(jnp.float32)
+    mu = jnp.sum(pts * w[:, None], 0) / jnp.maximum(w.sum(), 1.0)
+    X = (pts - mu) * w[:, None]
+    _, _, vt = jnp.linalg.svd(X, full_matrices=False)
+    n_ref = vt[-1]
+    d_ref = -jnp.dot(n_ref, mu)
+    inl = jnp.abs(pts @ n_ref + d_ref) < threshold
+    return np.asarray(n_ref), float(d_ref), np.asarray(inl)

@@ -465,8 +465,302 @@ def tool_calibration(argv: List[str]):
     return doc
 
 
+def tool_cleanup_local_grids(argv: List[str]):
+    """Remove dynamic obstacles from per-node local grids using the final
+    optimized map (reference: tools/CleanupLocalGrids +
+    Rtabmap::cleanupLocalGrids, Rtabmap.cpp:6467).
+    Usage: cleanup_local_grids <db> [radius_cells=1] [--ground]"""
+    from rtabmap_tpu.maps.grids import cleanup_local_grids
+    from rtabmap_tpu.memory.db import Database
+
+    filter_ground = "--ground" in argv
+    argv = [a for a in argv if a != "--ground"]
+    path = argv[0]
+    radius = int(argv[1]) if len(argv) > 1 else 1
+    db = Database(path, async_writes=False)
+    admin = db.load_admin()
+    poses = dict(admin["optimized_poses"])
+    sigs, grids = {}, {}
+    for sid in db.all_node_ids():
+        sig = db.load_signature(sid)
+        if sig is not None and sig.grid is not None:
+            sigs[sid] = sig
+            grids[sid] = sig.grid
+            poses.setdefault(sid, sig.pose)
+    cleaned, removed = cleanup_local_grids(poses, grids, radius=radius,
+                                           filter_ground=filter_ground)
+    for sid, g in cleaned.items():
+        sigs[sid].grid = g
+        db.save_signature(sigs[sid])
+    db.flush()
+    db.close()
+    print(f"cleaned {len(cleaned)} grids; removed {removed} dynamic cells")
+    return removed
+
+
+def tool_data_recorder(argv: List[str]):
+    """Record a sensor stream into a map store
+    (reference: tools/DataRecorder/main.cpp + guilib DataRecorder).
+    Usage: data_recorder <out.db> <driver> <driver-args...>
+    e.g.  data_recorder out.db rgbd_images rgb_dir depth_dir"""
+    from rtabmap_tpu.memory.db import Database
+    from rtabmap_tpu.sensors.capture import create_camera
+
+    out, driver = argv[0], argv[1]
+    cam = create_camera(driver, *argv[2:])
+    db = Database(out)
+    n = 0
+    for sd in cam:
+        img = np.asarray(sd.gray)
+        depth = None if sd.depth is None else np.asarray(sd.depth)
+        db.save_raw_frame(sd.id or n + 1, stamp=sd.stamp, image=img,
+                          depth=depth)
+        n += 1
+    db.save_admin()
+    db.flush()
+    db.close()
+    print(f"recorded {n} frames -> {out}")
+    return n
+
+
+def tool_console_app(argv: List[str]):
+    """Interactive appearance-based loop-closure console
+    (reference: tools/ConsoleApp/main.cpp — feed images, watch the
+    hypothesis). Usage: console_app <image_dir> [--Param v ...];
+    reads commands from stdin: <enter>=next frame, q=quit."""
+    import jax
+    import jax.numpy as jnp
+
+    from rtabmap_tpu.core.frame import extract_features
+    from rtabmap_tpu.engine.rtabmap import Rtabmap
+    from rtabmap_tpu.geometry import camera as C
+    from rtabmap_tpu.sensors.capture import CameraImages
+    from rtabmap_tpu.utils.params import Parameters
+
+    params, rest = Parameters.parse_arguments(argv)
+    src = CameraImages(rest[0])
+    slam = None
+    ext = None
+    interactive = sys.stdin.isatty()
+    for sd in src:
+        if interactive:
+            cmd = input(f"[frame {sd.id}] enter=process q=quit> ").strip()
+            if cmd == "q":
+                break
+        g = jnp.asarray(sd.gray)
+        if slam is None:
+            H, W = np.asarray(g).shape
+            cam = C.CameraModel.make(W, W, W / 2 - 0.5, H / 2 - 0.5, W, H)
+            params.set("RGBD/Enabled", False)
+            slam = Rtabmap(cam, params, words_per_frame=400)
+            ext = jax.jit(lambda x: extract_features(
+                x, jnp.zeros_like(x), cam, 400))
+        st = slam.process(ext(g), np.eye(3, 4, dtype=np.float32),
+                          stamp=float(sd.id))
+        hyp, p = slam.last_hypothesis
+        lc = st.get("Loop/Id/") or 0
+        print(f"frame {sd.id}: hypothesis {hyp} (p={p:.3f})"
+              + (f"  LOOP CLOSURE with {lc}" if lc else ""))
+    return slam
+
+
+def tool_stereo_eval(argv: List[str]):
+    """Evaluate stereo matching on a rectified pair
+    (reference: tools/StereoEval/main.cpp). Usage:
+    stereo_eval <left> <right> [max_disp=64]; prints sparse-LK and
+    dense-SGBM disparity statistics and their agreement."""
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from rtabmap_tpu.ops import features as F
+    from rtabmap_tpu.ops import image as im
+    from rtabmap_tpu.ops import stereo as S
+
+    def load(p):
+        a = np.asarray(Image.open(p))
+        return im.rgb_to_gray(jnp.asarray(a)) if a.ndim == 3 else \
+            jnp.asarray(a, jnp.float32) / 255.0
+
+    left, right = load(argv[0]), load(argv[1])
+    max_disp = int(argv[2]) if len(argv) > 2 else 64
+    kps, _ = jax.jit(lambda g: F.detect_and_describe(g, 256))(left)
+    disp, ok = S.lk_stereo_disparity(left, right, kps.uv, kps.valid,
+                                     max_disparity=float(max_disp))
+    dense = np.asarray(S.dense_sgbm_disparity(left, right, max_disparity=max_disp))
+    d_sparse = np.asarray(disp)
+    okn = np.asarray(ok)
+    uv = np.asarray(kps.uv).astype(int)
+    agree = []
+    for i in np.where(okn)[0]:
+        u, v = uv[i]
+        if 0 <= v < dense.shape[0] and 0 <= u < dense.shape[1] and dense[v, u] > 0:
+            agree.append(abs(dense[v, u] - d_sparse[i]))
+    out = {
+        "sparse_n": int(okn.sum()),
+        "sparse_mean_disp": float(d_sparse[okn].mean()) if okn.any() else 0.0,
+        "dense_density": float((dense > 0).mean()),
+        "dense_mean_disp": float(dense[dense > 0].mean()) if (dense > 0).any() else 0.0,
+        "sparse_dense_mad_px": float(np.mean(agree)) if agree else -1.0,
+    }
+    print(json.dumps(out, indent=2))
+    return out
+
+
+def tool_vocabulary_comparison(argv: List[str]):
+    """Quantization behavior of the incremental vocabulary over an image
+    set (reference: tools/VocabularyComparison/main.cpp). Usage:
+    vocabulary_comparison <image_dir> [max_kp=400]; prints per-frame
+    new-word / matched-word counts and the final dictionary size."""
+    import jax
+    import jax.numpy as jnp
+
+    from rtabmap_tpu.ops import features as F
+    from rtabmap_tpu.sensors.capture import CameraImages
+    from rtabmap_tpu.vocab.dictionary import VWDictionary
+
+    max_kp = int(argv[1]) if len(argv) > 1 else 400
+    vw = VWDictionary()
+    det = None
+    rows = []
+    for sd in CameraImages(argv[0]):
+        g = jnp.asarray(sd.gray)
+        if det is None:
+            det = jax.jit(lambda x: F.detect_and_describe(x, max_kp))
+        kps, desc = det(g)
+        ids, new = vw.quantize(desc, kps.valid)
+        n_new = int(np.asarray(new).sum())
+        n_match = int((np.asarray(ids) >= 0).sum()) - n_new
+        rows.append((sd.id, n_new, n_match))
+        print(f"frame {sd.id}: new words {n_new}, matched {n_match}, "
+              f"dict {vw.n_words}")
+    print(f"final dictionary: {vw.n_words} words over {len(rows)} frames")
+    return rows
+
+
+def tool_epipolar_geometry(argv: List[str]):
+    """Two-view epipolar geometry playground
+    (reference: tools/EpipolarGeometry/main.cpp). Usage:
+    epipolar_geometry <imgA> <imgB>; prints F, epipoles, inlier stats."""
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from rtabmap_tpu.core.frame import extract_features
+    from rtabmap_tpu.geometry import camera as C
+    from rtabmap_tpu.ops import epipolar as EP
+    from rtabmap_tpu.ops import image as im
+    from rtabmap_tpu.ops import matching as M
+
+    def load(p):
+        a = np.asarray(Image.open(p))
+        return im.rgb_to_gray(jnp.asarray(a)) if a.ndim == 3 else \
+            jnp.asarray(a, jnp.float32) / 255.0
+
+    ga, gb = load(argv[0]), load(argv[1])
+    H, W = np.asarray(ga).shape
+    cam = C.CameraModel.make(W, W, W / 2 - 0.5, H / 2 - 0.5, W, H)
+    ext = jax.jit(lambda g: extract_features(g, jnp.zeros_like(g), cam, 512))
+    fa, fb = ext(ga), ext(gb)
+    m = M.match_mutual_nndr(fa.desc, fa.valid, fb.desc, fb.valid)
+    ok, F_, inl = EP.check_hypothesis(fa.uv, fb.uv[m.idx], m.valid,
+                                      jax.random.PRNGKey(0))
+    Fm = np.asarray(F_)
+    _, _, vt = np.linalg.svd(Fm)
+    e1 = vt[-1]
+    e1 = e1[:2] / e1[2] if abs(e1[2]) > 1e-9 else e1[:2]
+    u, _, _ = np.linalg.svd(Fm)
+    e2 = u[:, -1]
+    e2 = e2[:2] / e2[2] if abs(e2[2]) > 1e-9 else e2[:2]
+    print("F =\n", Fm)
+    print(f"epipole A: {e1}, epipole B: {e2}")
+    print(f"matches {int(np.asarray(m.valid).sum())}, inliers "
+          f"{int(np.asarray(inl).sum())}, geometry "
+          f"{'OK' if bool(ok) else 'REJECTED'}")
+    return {"ok": bool(ok), "F": Fm.tolist()}
+
+
+def tool_extract_object(argv: List[str]):
+    """Extract the dominant above-plane object cluster from a cloud
+    (reference: tools/ExtractObject/main.cpp — plane removal + Euclidean
+    clustering). Usage: extract_object <in.ply> <out.ply> [cluster_vox=0.05]"""
+    from rtabmap_tpu.maps.mesh import read_ply, write_ply
+    from rtabmap_tpu.ops.ransac import fit_plane_ransac
+
+    in_path, out_path = argv[0], argv[1]
+    vox = float(argv[2]) if len(argv) > 2 else 0.05
+    verts, _, colors = read_ply(in_path)
+    import jax
+
+    n_h, d_h, inliers = fit_plane_ransac(verts, jax.random.PRNGKey(0))
+    rest = ~np.asarray(inliers)
+    pts = verts[rest]
+    cols = colors[rest] if colors is not None else None
+    if len(pts) == 0:
+        print("no off-plane points")
+        return 0
+    # Euclidean clustering on a voxel hash: union of adjacent occupied voxels
+    q = np.floor(pts / vox).astype(np.int64)
+    key = {tuple(c): i for i, c in enumerate(np.unique(q, axis=0))}
+    parent = list(range(len(key)))
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for c in list(key):
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                for dz in (-1, 0, 1):
+                    nb = (c[0] + dx, c[1] + dy, c[2] + dz)
+                    if nb in key:
+                        a, b = find(key[c]), find(key[nb])
+                        parent[a] = b
+    labels = np.asarray([find(key[tuple(c)]) for c in q])
+    best = np.bincount(labels).argmax()
+    sel = labels == best
+    write_ply(out_path, pts[sel], colors=cols[sel] if cols is not None else None)
+    print(f"extracted {int(sel.sum())} pts (of {len(verts)}) -> {out_path}")
+    return int(sel.sum())
+
+
+def tool_images_joiner(argv: List[str]):
+    """Join image pairs side by side (reference: tools/ImagesJoiner/main.cpp).
+    Usage: images_joiner <dirA> <dirB> <out_dir>"""
+    import os
+
+    from PIL import Image
+
+    from rtabmap_tpu.sensors.capture import _sorted_files
+
+    da, db_, out = argv[0], argv[1], argv[2]
+    os.makedirs(out, exist_ok=True)
+    fa, fb = _sorted_files(da), _sorted_files(db_)
+    n = 0
+    for pa, pb in zip(fa, fb):
+        a, b = Image.open(pa), Image.open(pb)
+        h = max(a.height, b.height)
+        canvas = Image.new("RGB", (a.width + b.width, h))
+        canvas.paste(a, (0, 0))
+        canvas.paste(b, (a.width, 0))
+        canvas.save(os.path.join(out, f"{n:06d}.png"))
+        n += 1
+    print(f"joined {n} pairs -> {out}")
+    return n
+
+
 TOOLS = {
     "calibration": tool_calibration,
+    "cleanup_local_grids": tool_cleanup_local_grids,
+    "console_app": tool_console_app,
+    "data_recorder": tool_data_recorder,
+    "epipolar_geometry": tool_epipolar_geometry,
+    "extract_object": tool_extract_object,
+    "images_joiner": tool_images_joiner,
+    "stereo_eval": tool_stereo_eval,
+    "vocabulary_comparison": tool_vocabulary_comparison,
     "rgbd_dataset": tool_rgbd_dataset,
     "kitti_dataset": tool_kitti_dataset,
     "euroc_dataset": tool_euroc_dataset,
