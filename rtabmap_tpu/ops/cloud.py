@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from rtabmap_tpu.geometry import camera as C
+from rtabmap_tpu.ops import linalg as L3
 
 
 def cloud_from_depth(depth, cam: C.CameraModel, decimation: int = 1,
@@ -71,14 +72,15 @@ def estimate_normals(pts, valid, k: int = 8, viewpoint: Optional[jnp.ndarray] = 
     mu = jnp.mean(nbrs, axis=1, keepdims=True)
     X = nbrs - mu
     cov = jnp.einsum("nki,nkj->nij", X, X) / k
-    w, V = jnp.linalg.eigh(cov)
-    normal = V[..., 0]                    # smallest eigenvector
+    # analytic smallest eigenpair — jnp.linalg.eigh lowers to an EighTpu
+    # custom call that costs ms per launch (see ops/linalg.py)
+    lam_min, normal = L3.eigvec_min_sym3(cov)
     if viewpoint is None:
         viewpoint = jnp.zeros((3,))
     to_vp = viewpoint[None] - pts
     flip = jnp.sum(normal * to_vp, axis=-1) < 0
     normal = jnp.where(flip[:, None], -normal, normal)
-    curvature = w[..., 0] / jnp.maximum(jnp.sum(w, axis=-1), 1e-12)
+    curvature = lam_min / jnp.maximum(jnp.trace(cov, axis1=-2, axis2=-1), 1e-12)
     return jnp.where(valid[:, None], normal, 0.0), curvature
 
 

@@ -36,12 +36,26 @@ def _eight_point(x1, x2):
     u2, v2 = x2n[..., 0], x2n[..., 1]
     ones = jnp.ones_like(u1)
     A = jnp.stack([u2 * u1, u2 * v1, u2, v2 * u1, v2 * v1, v2, u1, v1, ones], axis=-1)
-    _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
-    F = Vt[..., -1, :].reshape((*A.shape[:-2], 3, 3))
-    # enforce rank 2
-    U, S, Vt2 = jnp.linalg.svd(F)
-    S = S.at[..., 2].set(0.0)
-    F = (U * S[..., None, :]) @ Vt2
+    # null vector of A: inverse iteration on AtA with the unrolled Cholesky
+    # (the batched 9-column SVD lowered to ms-scale TPU custom calls)
+    from rtabmap_tpu.ops.linalg import chol_solve_unrolled, eigvec_min_sym3
+
+    AtA = jnp.einsum("...ni,...nj->...ij", A, A)
+    tr = jnp.trace(AtA, axis1=-2, axis2=-1)
+    # shift keeps the f32 Cholesky well-conditioned (lambda_min = 1e-5 tr);
+    # the null vector still dominates inverse iteration since lambda_2 ~ tr
+    Areg = AtA + (1e-5 * tr + 1e-12)[..., None, None] * jnp.eye(9)
+    f = jnp.ones((*AtA.shape[:-2], 9), A.dtype)
+    for _ in range(6):
+        f = chol_solve_unrolled(Areg, f)
+        f = f / jnp.maximum(jnp.linalg.norm(f, axis=-1, keepdims=True), 1e-30)
+    F = f.reshape((*A.shape[:-2], 3, 3))
+    # enforce rank 2: subtract the smallest singular triplet
+    # F' = F - s3 u3 v3^T with u3/v3 the null directions of FF^T / F^TF
+    _, v3 = eigvec_min_sym3(jnp.einsum("...ki,...kj->...ij", F, F))
+    _, u3 = eigvec_min_sym3(jnp.einsum("...ik,...jk->...ij", F, F))
+    s3 = jnp.einsum("...i,...ij,...j->...", u3, F, v3)
+    F = F - s3[..., None, None] * u3[..., :, None] * v3[..., None, :]
     return jnp.swapaxes(T2, -1, -2) @ F @ T1
 
 

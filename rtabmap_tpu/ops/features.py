@@ -255,27 +255,70 @@ def _brief_pattern(dim: int = DESC_DIM, radius: int = PATCH_R - 2, seed: int = 7
 _PATTERN = _brief_pattern()
 
 
+_PATCH = 32          # descriptor patch side; center at (16,16)
+_N_ANGLE_BINS = 30   # ORB quantizes rotation to 2*pi/30 (opencv ORB.cpp)
+
+
+def _binned_test_matrices(n_bins: int = _N_ANGLE_BINS) -> np.ndarray:
+    """Per-orientation-bin BRIEF difference matrices D (n_bins, 1024, 256):
+    descriptor = sign(patch.flat @ D[bin]). Column t of D[b] holds +1 at the
+    flattened patch index of rotated test point 1 and -1 at point 2 —
+    turning the per-keypoint sample gathers into one MXU matmul."""
+    out = np.zeros((n_bins, _PATCH * _PATCH, DESC_DIM), np.float32)
+    c = _PATCH // 2
+    for b in range(n_bins):
+        ang = 2.0 * np.pi * b / n_bins
+        ca, sa = np.cos(ang), np.sin(ang)
+        for t in range(DESC_DIM):
+            x1, y1, x2, y2 = _PATTERN[t]
+            for sign, (x, y) in ((1.0, (x1, y1)), (-1.0, (x2, y2))):
+                rx = int(np.round(ca * x - sa * y)) + c
+                ry = int(np.round(sa * x + ca * y)) + c
+                rx = min(max(rx, 0), _PATCH - 1)
+                ry = min(max(ry, 0), _PATCH - 1)
+                out[b, ry * _PATCH + rx, t] += sign
+    return out
+
+
+_TEST_MATS = _binned_test_matrices()
+
+
+def extract_patches(img, uv, patch: int = _PATCH):
+    """(K,patch,patch) patches centered at round(uv) — one contiguous-block
+    dynamic-slice per keypoint (TPU-fast: ~500x cheaper than per-tap point
+    gathers through XLA's gather)."""
+    H, W = img.shape[-2:]
+    c = patch // 2
+    u0 = (jnp.round(uv[:, 0]).astype(jnp.int32) - c).clip(0, W - patch)
+    v0 = (jnp.round(uv[:, 1]).astype(jnp.int32) - c).clip(0, H - patch)
+
+    def one(v, u):
+        return jax.lax.dynamic_slice(img, (v, u), (patch, patch))
+
+    return jax.vmap(one)(v0, u0)
+
+
 def describe(gray_blur, kps: Keypoints):
     """Rotated-BRIEF sign descriptors: (K, 256) int8 in {-1,+1}.
 
     gray_blur should be a Gaussian-smoothed image (reduces test noise).
-    """
-    pat = jnp.asarray(_PATTERN)
-    ca, sa = jnp.cos(kps.angle), jnp.sin(kps.angle)
-
-    def rot(xy):
-        x, y = xy[..., 0], xy[..., 1]
-        return jnp.stack([ca[:, None] * x - sa[:, None] * y,
-                          sa[:, None] * x + ca[:, None] * y], axis=-1)
-
-    p1 = kps.uv[:, None, :] + rot(jnp.broadcast_to(pat[None, :, :2], (kps.uv.shape[0], DESC_DIM, 2)))
-    p2 = kps.uv[:, None, :] + rot(jnp.broadcast_to(pat[None, :, 2:], (kps.uv.shape[0], DESC_DIM, 2)))
-    # nearest taps on the blurred field: 1 gather per sample instead of 4;
-    # sigma-2 smoothing makes the sub-pixel difference negligible while
-    # halving the whole extract stage's runtime
-    v1 = im.nearest_sample(gray_blur, p1.reshape(-1, 2)).reshape(kps.uv.shape[0], DESC_DIM)
-    v2 = im.nearest_sample(gray_blur, p2.reshape(-1, 2)).reshape(kps.uv.shape[0], DESC_DIM)
-    bits = jnp.where(v1 > v2, 1, -1).astype(jnp.int8)
+    TPU formulation: extract one 32x32 patch per keypoint (contiguous
+    dynamic-slice), quantize orientation to 30 bins (the reference ORB's
+    2*pi/30 lookup, opencv/ORBextractor.cc), and evaluate all 256 tests
+    of a bin as a single (K,1024)@(1024,256) matmul with a +1/-1
+    difference matrix — the per-bin results are mask-accumulated."""
+    K = kps.uv.shape[0]
+    patches = extract_patches(gray_blur, kps.uv).reshape(K, _PATCH * _PATCH)
+    nb = _N_ANGLE_BINS
+    two_pi = 2.0 * np.pi
+    bins = jnp.round(jnp.mod(kps.angle, two_pi) / two_pi * nb).astype(jnp.int32) % nb
+    D = jnp.asarray(_TEST_MATS, jnp.bfloat16)
+    patches16 = patches.astype(jnp.bfloat16)
+    diff = jnp.zeros((K, DESC_DIM), jnp.float32)
+    for b in range(nb):
+        vb = (patches16 @ D[b]).astype(jnp.float32)
+        diff = diff + jnp.where((bins == b)[:, None], vb, 0.0)
+    bits = jnp.where(diff > 0, 1, -1).astype(jnp.int8)
     return jnp.where(kps.valid[:, None], bits, 0).astype(jnp.int8)
 
 

@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from rtabmap_tpu.geometry import transform as T
+from rtabmap_tpu.ops import linalg as L3
 from rtabmap_tpu.ops.ransac import rigid_from_correspondences
 
 
@@ -93,7 +94,7 @@ def icp(src, src_valid, dst, dst_valid, guess=None,
         J = jnp.concatenate([nrm, jnp.cross(moved, nrm)], axis=-1)  # (N,6)
         H = jnp.einsum("ni,nj,n->ij", J, J, w) + 1e-6 * jnp.eye(6)
         b = jnp.einsum("ni,n,n->i", J, r, w)
-        xi = -jnp.linalg.solve(H, b)
+        xi = -L3.chol_solve_unrolled(H, b)
         return T.compose(T.se3_exp(xi), Tcur), w, d2
 
     step = p2l_step if point_to_plane else p2p_step

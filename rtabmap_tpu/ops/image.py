@@ -121,6 +121,39 @@ def nearest_sample(img, uv, pad_value: float = 0.0):
     return jnp.where(ok, val, pad_value)
 
 
+def window_sample(img, uv, win: int):
+    """Per-point (win,win) windows via contiguous dynamic-slices — the
+    TPU-fast alternative to point gathers (XLA lowers a point gather to
+    ~us-per-element scalar loads; a block slice is a vector copy).
+
+    img (H,W); uv (N,2) continuous coords. Returns (vals (N,win,win),
+    origin (N,2) int32 top-left of each window, clamped in-bounds)."""
+    H, W = img.shape
+    c = (win - 1) // 2
+    u0 = (jnp.floor(uv[:, 0]).astype(jnp.int32) - c).clip(0, W - win)
+    v0 = (jnp.floor(uv[:, 1]).astype(jnp.int32) - c).clip(0, H - win)
+
+    def one(v, u):
+        return jax.lax.dynamic_slice(img, (v, u), (win, win))
+
+    return jax.vmap(one)(v0, u0), jnp.stack([u0, v0], -1)
+
+
+def bilinear_sample_ds(img, uv, pad_value: float = 0.0):
+    """Bilinear sample of (H,W) at (N,2) built on 2x2 dynamic-slice windows
+    instead of 4 point gathers (see ``window_sample``). Out-of-bounds
+    points return ``pad_value``."""
+    H, W = img.shape
+    w4, origin = window_sample(img, uv, 2)
+    du = (uv[:, 0] - origin[:, 0]).clip(0.0, 1.0)
+    dv = (uv[:, 1] - origin[:, 1]).clip(0.0, 1.0)
+    s = (w4[:, 0, 0] * (1 - du) * (1 - dv) + w4[:, 0, 1] * du * (1 - dv)
+         + w4[:, 1, 0] * (1 - du) * dv + w4[:, 1, 1] * du * dv)
+    ok = ((uv[:, 0] >= 0) & (uv[:, 0] <= W - 1)
+          & (uv[:, 1] >= 0) & (uv[:, 1] <= H - 1))
+    return jnp.where(ok, s, pad_value)
+
+
 def max_pool_same(img, size: int):
     """Max filter with 'same' padding on (...,H,W) — used for NMS."""
     batch = img.shape[:-2]

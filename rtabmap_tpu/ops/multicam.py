@@ -25,6 +25,7 @@ import numpy as np
 
 from rtabmap_tpu.geometry import camera as C
 from rtabmap_tpu.geometry import transform as T
+from rtabmap_tpu.ops import linalg as L3
 from rtabmap_tpu.ops import ransac as R
 
 
@@ -93,9 +94,11 @@ def ransac_pnp_rig(pts_w, uv, cam_idx, valid, rig: Rig, pts3d_body, key,
     xn = rig_normalized(uv, cam_idx, rig)
 
     idx3 = R._sample_indices(key, valid, iters, 3)
-    w3 = jnp.ones(idx3.shape, pts_w.dtype)
-    # hypothesis: body<-world rigid from 3 point pairs
-    models_bw = R.rigid_from_correspondences(pts_w[idx3], pts3d_body[idx3], w3)
+    # hypothesis: body<-world rigid from 3 point pairs (normal-augmented:
+    # 3-point cross-covariances are rank-2, see _augment_minimal_3pt)
+    s3, d3 = R._augment_minimal_3pt(pts_w[idx3], pts3d_body[idx3])
+    w3 = jnp.ones(s3.shape[:-1], pts_w.dtype)
+    models_bw = R.rigid_from_correspondences(s3, d3, w3)
     models = jax.vmap(T.inverse)(models_bw)           # T_wb candidates
     if guess is not None:
         models = jnp.concatenate([models, guess[None]], axis=0)
@@ -120,7 +123,7 @@ def ransac_pnp_rig(pts_w, uv, cam_idx, valid, rig: Rig, pts3d_body, key,
         Jw = J * w[:, None, None]
         H = jnp.einsum("kri,krj->ij", Jw, J) + 1e-6 * jnp.eye(6)
         g = jnp.einsum("kri,kr->i", Jw, r0)
-        dx = -jnp.linalg.solve(H, g)
+        dx = -L3.chol_solve_unrolled(H, g)
         return T.retract_left(T_wb, dx)
 
     T_wb = jax.lax.fori_loop(0, refine_iters, gn_body, T_wb)

@@ -30,13 +30,22 @@ class RansacResult(NamedTuple):
     covariance: jnp.ndarray  # (6,6) pose covariance estimate
 
 
+# Custom-call-free small linear algebra lives in ops/linalg.py (shared with
+# ICP / BA / normals); re-exported here for callers that import from ransac.
+from rtabmap_tpu.ops.linalg import (  # noqa: E402
+    chol_solve_unrolled, inv3 as _inv3, polar_so3,
+)
+
+
 # ------------------------------------------------------------------ weighted Kabsch
 
 
 def rigid_from_correspondences(src, dst, w):
     """Weighted least-squares rigid fit dst ≈ R src + t.
 
-    src/dst (...,K,3), w (...,K) nonnegative. Umeyama/Kabsch via SVD.
+    src/dst (...,K,3), w (...,K) nonnegative. Umeyama/Kabsch with the SVD
+    replaced by a polar-decomposition Newton iteration (see polar_so3) —
+    the optimal rotation for det(H) > 0, custom-call-free on TPU.
     """
     wsum = jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-9)
     wn = w / wsum
@@ -45,12 +54,49 @@ def rigid_from_correspondences(src, dst, w):
     sc = src - mu_s[..., None, :]
     dc = dst - mu_d[..., None, :]
     H = jnp.einsum("...ki,...kj,...k->...ij", sc, dc, wn)
-    U, _, Vt = jnp.linalg.svd(H)
-    det = jnp.linalg.det(jnp.swapaxes(Vt, -1, -2) @ jnp.swapaxes(U, -1, -2))
-    D = jnp.stack([jnp.ones_like(det), jnp.ones_like(det), det], axis=-1)
-    R = jnp.einsum("...ji,...j,...kj->...ik", Vt, D, U)  # V diag(D) U^T
+    # R = polar factor of M = H^T (dst = R src: cross-cov H = src^T dst).
+    # Planar point sets (2D scans, 3-point minimal samples) make M rank-2,
+    # where the plain polar iteration diverges; complete the missing
+    # direction with the null-space pair u3 v3^T, signed so det(R) = +1 —
+    # this reproduces the Kabsch SVD solution exactly (R = U diag(1,1,s) V^T)
+    # without the EighTpu custom call.
+    from rtabmap_tpu.ops.linalg import eigvec_min_sym3
+
+    M = jnp.swapaxes(H, -1, -2)
+    MtM = jnp.einsum("...ki,...kj->...ij", M, M)
+    MMt = jnp.einsum("...ik,...jk->...ij", M, M)
+    lam_v, v3 = eigvec_min_sym3(MtM)   # src-side null direction
+    lam_u, u3 = eigvec_min_sym3(MMt)   # dst-side null direction
+    tr = jnp.trace(MtM, axis1=-2, axis2=-1)
+    deficient = lam_v < 1e-6 * tr + 1e-20
+    gamma = jnp.where(deficient, 0.5 * jnp.sqrt(jnp.maximum(tr, 1e-30)), 0.0)
+    outer = u3[..., :, None] * v3[..., None, :]
+    sign = jnp.sign(jnp.linalg.det(M + gamma[..., None, None] * outer))
+    sign = jnp.where(sign == 0, 1.0, sign)
+    Maug = M + (sign * gamma)[..., None, None] * outer
+    R = polar_so3(Maug)
     t = mu_d - jnp.einsum("...ij,...j->...i", R, mu_s)
     return T.from_rt(R, t)
+
+
+def _augment_minimal_3pt(s3, d3):
+    """Append a virtual 4th correspondence — the plane normal (cross
+    product of the two centered edge vectors) — to 3-point minimal samples
+    (..., 3, 3). Centered 3-point sets span a plane, so their Kabsch
+    cross-covariance is rank-2 and the polar iteration in
+    rigid_from_correspondences needs the normal to pin the out-of-plane
+    direction (the SVD-based solver got it implicitly)."""
+
+    def aug(p):
+        c = p.mean(axis=-2, keepdims=True)
+        e = p - c
+        n = jnp.cross(e[..., 1, :] - e[..., 0, :], e[..., 2, :] - e[..., 0, :])
+        scale = jnp.linalg.norm(e, axis=(-2, -1), keepdims=False)[..., None]
+        n = n / (jnp.linalg.norm(n, axis=-1, keepdims=True) + 1e-12) * scale
+        return jnp.concatenate([p, c[..., 0, :][..., None, :] + n[..., None, :]],
+                               axis=-2)
+
+    return aug(s3), aug(d3)
 
 
 def _sample_indices(key, valid, n_hyp: int, n_pts: int):
@@ -75,9 +121,8 @@ def ransac_rigid(src, dst, valid, key, iters: int = 256, threshold: float = 0.1,
     """3D-3D RANSAC: find T with dst ≈ T(src). All distances in meters."""
     K = src.shape[0]
     idx = _sample_indices(key, valid, iters, 3)
-    s3 = src[idx]  # (iters,3,3)
-    d3 = dst[idx]
-    w3 = jnp.ones(idx.shape, src.dtype)
+    s3, d3 = _augment_minimal_3pt(src[idx], dst[idx])
+    w3 = jnp.ones(s3.shape[:-1], src.dtype)
     models = rigid_from_correspondences(s3, d3, w3)  # (iters,3,4)
     pred = T.apply(models, jnp.broadcast_to(src, (iters, K, 3)))
     err = jnp.linalg.norm(pred - dst[None], axis=-1)
@@ -131,12 +176,10 @@ def _dlt_pnp(pts3d, xn):
     AtA = jnp.einsum("...ni,...nj->...ij", A, A)
     tr = jnp.trace(AtA, axis1=-2, axis2=-1)
     eye = jnp.eye(12, dtype=AtA.dtype)
-    L = jnp.linalg.cholesky(AtA + (1e-9 * tr + 1e-12)[..., None, None] * eye)
+    Areg = AtA + (1e-9 * tr + 1e-12)[..., None, None] * eye
     p = jnp.ones((*AtA.shape[:-2], 12), AtA.dtype)
     for _ in range(4):
-        y = jax.scipy.linalg.solve_triangular(L, p[..., None], lower=True)
-        p = jax.scipy.linalg.solve_triangular(
-            L, y, lower=True, trans=1)[..., 0]
+        p = chol_solve_unrolled(Areg, p)
         p = p / jnp.maximum(jnp.linalg.norm(p, axis=-1, keepdims=True), 1e-30)
     P = p.reshape((*p.shape[:-1], 3, 4))
     R = P[..., :3]
@@ -149,10 +192,7 @@ def _dlt_pnp(pts3d, xn):
     Rn = R / scale[..., None, None]
     t = P[..., 3] / scale[..., None]
     # project onto SO(3) (noise makes Rn only approximately orthonormal)
-    U, _, Vt2 = jnp.linalg.svd(Rn)
-    det = jnp.linalg.det(U @ Vt2)
-    D = jnp.stack([jnp.ones_like(det), jnp.ones_like(det), det], axis=-1)
-    Rn = (U * D[..., None, :]) @ Vt2
+    Rn = polar_so3(Rn)
     return T.from_rt(Rn, t)
 
 
@@ -189,7 +229,7 @@ def pnp_gn(pts3d, xn, w, Tcw0, iters: int = 8, damping: float = 1e-4):
         JtJ = jnp.einsum("nri,nrj,n->ij", J, J, ww)
         Jtr = jnp.einsum("nri,nr,n->i", J, res, ww)
         H = JtJ + damping * jnp.eye(6)
-        dx = -jnp.linalg.solve(H, Jtr)
+        dx = -chol_solve_unrolled(H, Jtr)
         return T.retract_left(Tcw, dx)
 
     Tcw = jax.lax.fori_loop(0, iters, body, Tcw0)
@@ -228,9 +268,10 @@ def ransac_pnp(pts3d, uv, valid, cam: C.CameraModel, key,
         models_dlt = _dlt_pnp(pts3d[idx], xn[idx])
         k2 = jax.random.fold_in(key, 1)
         idx3 = _sample_indices(k2, valid, iters - n_dlt, 3)
-        w3 = jnp.ones(idx3.shape, pts3d.dtype)
+        s3, d3 = _augment_minimal_3pt(pts3d[idx3], pts3d_query[idx3])
+        w3 = jnp.ones(s3.shape[:-1], pts3d.dtype)
         # world -> query-camera rigid fit
-        models_kab = rigid_from_correspondences(pts3d[idx3], pts3d_query[idx3], w3)
+        models_kab = rigid_from_correspondences(s3, d3, w3)
         models = jnp.concatenate([models_dlt, models_kab], axis=0)
     else:
         idx = _sample_indices(key, valid, iters, 6)

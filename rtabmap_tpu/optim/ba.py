@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from rtabmap_tpu.geometry import transform as T
+from rtabmap_tpu.ops import linalg as L3
 
 
 class BAProblem(NamedTuple):
@@ -93,7 +94,7 @@ def bundle_adjust(problem: BAProblem, iters: int = 10, damping: float = 1e-3,
         fix = problem.fixed_cams.astype(jnp.float32) * 1e8
         B = B + (jnp.eye(6)[None] * (lam + fix[:, None, None]))
         C = C + jnp.eye(3)[None] * lam
-        Cinv = jnp.linalg.inv(C)
+        Cinv = L3.inv3(C)  # batched closed-form (no LU custom call)
 
         # reduced camera system S dxc = v
         ECE = jnp.einsum("apik,pkl,bpjl->aibj", E, Cinv, E)
