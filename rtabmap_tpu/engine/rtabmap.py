@@ -31,7 +31,8 @@ from rtabmap_tpu.geometry import camera as C
 from rtabmap_tpu.geometry import transform as T
 from rtabmap_tpu.memory.memory import (
     LINK_GLOBAL_CLOSURE, LINK_LOCAL_SPACE_CLOSURE, LINK_LOCAL_TIME_CLOSURE,
-    LINK_NEIGHBOR, LINK_USER_CLOSURE, Link, Memory, Signature,
+    LINK_NEIGHBOR, LINK_USER_CLOSURE, LINK_VIRTUAL_CLOSURE, Link, Memory,
+    Signature,
 )
 from rtabmap_tpu.optim import pose_graph as PG
 from rtabmap_tpu.utils.logging import Statistics, Timer, get_logger
@@ -78,6 +79,7 @@ class Rtabmap:
         self.time_thr = float(p["Rtabmap/TimeThr"])        # ms, 0 = off
         self.memory_thr = int(p["Rtabmap/MemoryThr"])      # nodes, 0 = off
         self.min_inliers = int(p["Vis/MinInliers"])
+        self.optimizer_robust = bool(p["Optimizer/Robust"])
         self.rgbd_mode = bool(p["RGBD/Enabled"])
         self.detection_rate = float(p["Rtabmap/DetectionRate"])
         self.linear_update = float(p["RGBD/LinearUpdate"])
@@ -93,6 +95,19 @@ class Rtabmap:
         self._last_pose: Optional[np.ndarray] = None
         self._key = jax.random.PRNGKey(seed)
         self.stats_history: List[Statistics] = []
+
+        # --- topological planner / goal tracking state (reference:
+        # Rtabmap::computePath/updateGoalIndex, Rtabmap.h:233-276)
+        self.goal_reached_radius = float(p["RGBD/GoalReachedRadius"])
+        self.plan_stuck_iterations = int(p["RGBD/PlanStuckIterations"])
+        self._path: List[Tuple[int, np.ndarray]] = []  # (node id, pose at plan time)
+        self._path_current_index = 0
+        self._path_goal_index = 0
+        self._path_transform_to_goal = np.asarray(T.identity())
+        self._path_unreachable: set = set()
+        self._path_stuck_count = 0
+        self._path_stuck_dist = 0.0
+        self.path_status = 0  # 0 idle/cleared, 1 goal reached, -1 aborted
 
     # ------------------------------------------------------------------ utils
     @classmethod
@@ -238,11 +253,15 @@ class Rtabmap:
                 accepted_id = hypothesis_id
         self.last_hypothesis = (hypothesis_id, hypothesis_value)
 
-        # --- E. retrieval: page hypothesis neighborhood back from LTM
-        if hypothesis_id > 0:
+        # --- E. retrieval: page hypothesis neighborhood back from LTM,
+        # plus upcoming planned-path nodes (reference: Rtabmap.cpp:2408)
+        if hypothesis_id > 0 or self._path:
             with st.time_stage("Timing/Retrieval/ms"):
-                near = self._graph_neighborhood(hypothesis_id, self.retrieval_margin)
-                ltm_ids = [i for i in near
+                near = (self._graph_neighborhood(hypothesis_id, self.retrieval_margin)
+                        if hypothesis_id > 0 else [])
+                near += [i for i, _ in self._path[self._path_current_index:
+                                                  self._path_goal_index + 3]]
+                ltm_ids = [i for i in dict.fromkeys(near)
                            if (s := self.memory.get(i)) is not None and s.in_ltm]
                 if ltm_ids:
                     got = self.memory.retrieve(ltm_ids)
@@ -324,6 +343,14 @@ class Rtabmap:
                 self._optimize(st, links_added)
         else:
             self.optimized_poses[sig.id] = odom_pose
+
+        # --- H2. goal tracking on the active planned path
+        if self._path:
+            with st.time_stage("Timing/Path planning/ms"):
+                self.update_goal_index()
+                st.add("Planning/Current goal id/", self.get_path_current_goal())
+                st.add("Planning/Path length/", len(self.get_path()))
+                st.add("Planning/Status/", self.path_status)
 
         # --- K. transfer (WM -> LTM)
         with st.time_stage("Timing/Memory cleanup/ms"):
@@ -461,16 +488,20 @@ class Rtabmap:
         pose_arr = np.stack([
             self.optimized_poses.get(i, poses[i]) for i in ids
         ]) if N else np.zeros((0, 3, 4), np.float32)
-        ef, et, meas, info = [], [], [], []
+        closure_types = {LINK_GLOBAL_CLOSURE, LINK_LOCAL_SPACE_CLOSURE,
+                         LINK_LOCAL_TIME_CLOSURE, LINK_USER_CLOSURE}
+        ef, et, meas, info, switch = [], [], [], [], []
         for lk in links:
             if lk.from_id in id_to_idx and lk.to_id in id_to_idx:
                 ef.append(id_to_idx[lk.from_id])
                 et.append(id_to_idx[lk.to_id])
                 meas.append(lk.transform)
                 info.append(lk.information)
+                switch.append(lk.type in closure_types)
         return ids, pose_arr, np.array(ef, np.int32), np.array(et, np.int32), \
             (np.stack(meas) if meas else np.zeros((0, 3, 4), np.float32)), \
-            (np.stack(info) if info else np.zeros((0, 6, 6), np.float32))
+            (np.stack(info) if info else np.zeros((0, 6, 6), np.float32)), \
+            np.array(switch, bool)
 
     def _optimize(self, st: Statistics, new_links: List[Link]):
         # Without new constraints the graph optimum is unchanged — just
@@ -483,7 +514,7 @@ class Rtabmap:
                         T.compose(jnp.asarray(self.map_correction),
                                   jnp.asarray(self.memory.get(i).pose)))
             return
-        ids, poses, ef, et, meas, info = self._build_graph()
+        ids, poses, ef, et, meas, info, switch = self._build_graph()
         if len(ids) < 2 or len(ef) < 1:
             for i in ids:
                 self.optimized_poses[i] = np.asarray(
@@ -508,10 +539,26 @@ class Rtabmap:
                           node_valid=jnp.asarray(node_valid),
                           edge_valid=jnp.asarray(edge_valid),
                           root=N - 1)
-        out, chi2 = PG.optimize(g, iters=12)
+        if self.optimizer_robust:
+            # Vertigo-equivalent robust mode (Optimizer/Robust): closure
+            # edges become switchable via dynamic covariance scaling
+            switch_p = np.concatenate([switch, np.zeros(Ep - E, bool)])
+            out, chi2 = PG.optimize(g, iters=12,
+                                    switch_mask=jnp.asarray(switch_p))
+        else:
+            out, chi2 = PG.optimize(g, iters=12)
         lin_ratio, ang_ratio = PG.edge_errors(out)
         max_err = float(jnp.maximum(jnp.max(lin_ratio), jnp.max(ang_ratio))) if len(ef) else 0.0
         st.add("Loop/Optimization max error ratio/", max_err)
+
+        def propagate_missing():
+            # keep every resident node addressable in map frame even when
+            # the solve is discarded (new nodes get odometry ⊕ correction)
+            for i in ids:
+                if i not in self.optimized_poses:
+                    self.optimized_poses[i] = np.asarray(
+                        T.compose(jnp.asarray(self.map_correction),
+                                  jnp.asarray(self.memory.get(i).pose)))
 
         new_poses = np.asarray(out.poses)
         diverged = not np.isfinite(new_poses[: len(ids)]).all() or not np.isfinite(max_err)
@@ -522,9 +569,11 @@ class Rtabmap:
                 self.memory.remove_link(lk.from_id, lk.to_id)
             st.add("Loop/Rejected by optimization/", 1)
             self.loop_closure_id = 0
+            propagate_missing()
             return
         if diverged:
             st.add("Loop/Optimization diverged/", 1)
+            propagate_missing()
             return
         for k, i in enumerate(ids):
             self.optimized_poses[i] = new_poses[k]
@@ -656,7 +705,7 @@ class Rtabmap:
                          LINK_LOCAL_TIME_CLOSURE, LINK_USER_CLOSURE)
         removed = 0
         for _ in range(max_removals):
-            ids, poses, ef, et, meas, info = self._build_graph()
+            ids, poses, ef, et, meas, info, switch = self._build_graph()
             if len(ids) < 2 or len(ef) < 1:
                 break
             g = PG.make_graph(jnp.asarray(np.asarray(poses)),
@@ -788,6 +837,173 @@ class Rtabmap:
         start = (self.memory.stm or self.memory.wm)[-1]
         adj = G.links_to_adjacency(self.memory.signatures)
         return G.compute_path(self.optimized_poses, adj, start, goal_id)
+
+    # --------------------------------------------- goal tracking / following
+    def set_goal(self, goal_id: int) -> bool:
+        """Plan a topological path to a goal node and start tracking it
+        (reference: Rtabmap::computePath(targetNode) Rtabmap.h:235)."""
+        ids = self.compute_path(goal_id)
+        if not ids or any(i not in self.optimized_poses for i in ids):
+            self.path_status = -1
+            return False
+        self.clear_path(0)
+        self._path = [(i, np.asarray(self.optimized_poses[i], np.float32))
+                      for i in ids]
+        self._path_transform_to_goal = np.asarray(T.identity())
+        self.path_status = 0
+        return True
+
+    def set_goal_pose(self, goal_pose, tolerance: float = -1.0) -> bool:
+        """Plan to a metric pose: snap to the nearest graph node within
+        ``tolerance`` metres (<0 → RGBD/LocalRadius, 0 → unbounded) and
+        keep the residual offset as the in-node goal transform
+        (reference: Rtabmap::computePath(targetPose) Rtabmap.h:236)."""
+        goal_pose = np.asarray(goal_pose, np.float32)
+        if tolerance < 0:
+            tolerance = self.local_radius
+        best, best_d = 0, float("inf")
+        for i, pose in self.optimized_poses.items():
+            d = float(np.linalg.norm(pose[:3, 3] - goal_pose[:3, 3]))
+            if d < best_d:
+                best, best_d = i, d
+        if best == 0 or (tolerance > 0 and best_d > tolerance):
+            self.path_status = -1
+            return False
+        if not self.set_goal(best):
+            return False
+        self._path_transform_to_goal = np.asarray(
+            T.relative(jnp.asarray(self.optimized_poses[best]),
+                       jnp.asarray(goal_pose)))
+        return True
+
+    def clear_path(self, status: int):
+        """Stop following the current path; status −1 aborted / 1 reached
+        (reference: Rtabmap::clearPath)."""
+        for i, _ in self._path:
+            self.memory.remove_virtual_links(i)
+        self._path = []
+        self._path_current_index = 0
+        self._path_goal_index = 0
+        self._path_unreachable = set()
+        self._path_stuck_count = 0
+        self._path_stuck_dist = 0.0
+        self.path_status = status
+
+    def get_path(self) -> List[int]:
+        """Remaining node ids on the active path (current → final goal)."""
+        return [i for i, _ in self._path[self._path_current_index:]]
+
+    def get_path_current_goal(self) -> int:
+        """The intermediate goal node currently being driven to."""
+        if not self._path:
+            return 0
+        return self._path[self._path_goal_index][0]
+
+    def get_path_next_poses(self) -> List[np.ndarray]:
+        """Optimized poses from the current node to the current goal —
+        what a local trajectory follower consumes."""
+        out = []
+        for i, _ in self._path[self._path_current_index:self._path_goal_index + 1]:
+            if i in self.optimized_poses:
+                out.append(np.asarray(self.optimized_poses[i]))
+        return out
+
+    def update_goal_index(self) -> None:
+        """Advance path tracking after a localization/mapping update
+        (reference: Rtabmap::updateGoalIndex Rtabmap.cpp:7289): keep the
+        path chain connected with virtual links, move the current index to
+        the nearest path node, push the intermediate goal to the farthest
+        optimized node within the local radius, detect goal-reached and
+        stuck conditions."""
+        if not self.rgbd_mode or not self._path:
+            return
+
+        # virtual links keep consecutive path nodes connected in the graph
+        # so the graph optimizer and planner see one chain even across
+        # sessions (reference inserts kVirtualClosure with cov 0.01*I)
+        for i, _ in self._path[:self._path_current_index]:
+            self.memory.remove_virtual_links(i)
+        dist_so_far = 0.0
+        for k in range(self._path_current_index + 1, len(self._path)):
+            ia, pa = self._path[k - 1]
+            ib, pb = self._path[k]
+            if self.local_radius > 0:
+                dist_so_far += float(np.linalg.norm(pb[:3, 3] - pa[:3, 3]))
+            sa, sb = self.memory.get(ia), self.memory.get(ib)
+            if ia != ib and sa is not None and sb is not None and ib not in sa.links:
+                virt = np.asarray(T.relative(jnp.asarray(pb), jnp.asarray(pa)))
+                # weak information (reference passes infMatrix = 0.01*I) so
+                # the chain is connected but barely constrains optimization
+                self.memory.add_link(Link(ib, ia, LINK_VIRTUAL_CLOSURE, virt,
+                                          np.eye(6, dtype=np.float32) * 0.01))
+            if 0 < self.local_radius < dist_so_far:
+                break
+
+        cur_id = (self.memory.stm or self.memory.wm)[-1]
+        cur_pose = self.optimized_poses.get(cur_id)
+        if cur_pose is None:
+            self.clear_path(-1)
+            return
+
+        # goal reached?
+        goal_id, goal_pose0 = self._path[-1]
+        goal_pose = self.optimized_poses.get(goal_id, goal_pose0)
+        goal_abs = np.asarray(T.compose(jnp.asarray(goal_pose),
+                                        jnp.asarray(self._path_transform_to_goal)))
+        if float(np.linalg.norm(cur_pose[:3, 3] - goal_abs[:3, 3])) \
+                < self.goal_reached_radius:
+            self.clear_path(1)
+            return
+
+        # farthest reachable intermediate goal within the local radius
+        goal_index = self._path_current_index
+        for k in range(self._path_current_index + 1, len(self._path)):
+            if self._path[k][0] not in self.optimized_poses:
+                break
+            d = float(np.linalg.norm(
+                self._path[k][1][:3, 3]
+                - self._path[self._path_current_index][1][:3, 3]))
+            if (goal_index == self._path_current_index and k == len(self._path) - 1) \
+                    or k not in self._path_unreachable:
+                goal_index = k
+                if self.local_radius > 0 and d > self.local_radius:
+                    break
+        same_goal = goal_index == self._path_goal_index
+        self._path_goal_index = goal_index
+
+        # nearest path node = new current index
+        best_k, best_d = self._path_current_index, float("inf")
+        for k in range(self._path_current_index, self._path_goal_index + 1):
+            p = self.optimized_poses.get(self._path[k][0])
+            if p is None:
+                continue
+            d = float(np.linalg.norm(cur_pose[:3, 3] - p[:3, 3]))
+            if d < best_d:
+                best_k, best_d = k, d
+        same_current = best_k == self._path_current_index
+        if not same_current:
+            self._path_current_index = best_k
+            self._path_unreachable.discard(best_k)
+
+        # stuck detection: no index progress and no distance progress
+        if same_goal and same_current and self.plan_stuck_iterations > 0:
+            d_goal = float(np.linalg.norm(
+                cur_pose[:3, 3]
+                - self.optimized_poses.get(self.get_path_current_goal(),
+                                           goal_abs)[:3, 3]))
+            if self._path_stuck_dist == 0.0 or d_goal < self._path_stuck_dist - 0.1:
+                self._path_stuck_dist = d_goal
+                self._path_stuck_count = 0
+            else:
+                self._path_stuck_count += 1
+                if self._path_stuck_count > self.plan_stuck_iterations:
+                    if self._path_goal_index < len(self._path) - 1:
+                        self._path_unreachable.add(self._path_goal_index)
+                        self._path_stuck_count = 0
+                    else:
+                        self.clear_path(-1)
+        else:
+            self._path_stuck_count = 0
 
     # --------------------------------------------------------------- exports
     def get_optimized_poses(self) -> Dict[int, np.ndarray]:

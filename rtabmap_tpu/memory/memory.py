@@ -259,6 +259,16 @@ class Memory:
         if to_id in self.signatures:
             self.signatures[to_id].links.pop(from_id, None)
 
+    def remove_virtual_links(self, node_id: int):
+        """Drop all kVirtualClosure links touching a node (reference:
+        Memory::removeVirtualLinks, used by the planner's goal tracking)."""
+        s = self.signatures.get(node_id)
+        if s is None:
+            return
+        for other in [k for k, lk in s.links.items()
+                      if lk.type == LINK_VIRTUAL_CLOSURE]:
+            self.remove_link(node_id, other)
+
     # -------------------------------------------------------------- lifecycle
     def add_to_stm(self, sig: Signature, neighbor_link: Optional[Link] = None):
         """(reference: Memory::addSignatureToStm Memory.cpp:1142.)

@@ -126,6 +126,19 @@ def _huber_weights(r, info, delta: float):
     return jnp.where(m <= delta, 1.0, delta / m)
 
 
+def _dcs_weights(r, info, switch_mask, phi):
+    """Dynamic covariance scaling on switchable edges — the closed-form
+    equivalent of Vertigo's switchable loop-closure constraints (the
+    reference's Optimizer/Robust mode, OptimizerG2O.cpp:859 vertigo
+    EdgeSE3Switchable; DCS: Agarwal et al., ICRA 2013). An edge whose chi²
+    exceeds Φ is smoothly switched off: s = min(1, 2Φ/(Φ+χ²)), applied as
+    s² on the information matrix. Odometry edges (switch_mask=False) are
+    never scaled."""
+    chi2 = jnp.einsum("ei,eij,ej->e", r, info, r)
+    s = jnp.minimum(1.0, 2.0 * phi / (phi + chi2))
+    return jnp.where(switch_mask, jnp.maximum(s * s, 1e-6), 1.0)
+
+
 def _assemble_dense(g: PoseGraph, r, Ji, Jj, w, damping):
     N = g.poses.shape[0]
     H = jnp.zeros((N, 6, N, 6))
@@ -158,19 +171,26 @@ def _assemble_dense(g: PoseGraph, r, Ji, Jj, w, damping):
 
 @partial(jax.jit, static_argnames=("iters", "robust"))
 def optimize_dense(g: PoseGraph, iters: int = 20, damping: float = 1e-6,
-                   robust: bool = False, huber_delta: float = 1.0) -> Tuple[PoseGraph, jnp.ndarray]:
+                   robust: bool = False, huber_delta: float = 1.0,
+                   switch_mask: Optional[jnp.ndarray] = None,
+                   dcs_phi: float = 1.0) -> Tuple[PoseGraph, jnp.ndarray]:
     """GN/LM with dense Cholesky — for graphs up to ~500 nodes.
 
     Returns (optimized graph, final chi2).
     """
     N = g.poses.shape[0]
 
-    def step(poses, _):
+    def step(poses, k):
         gg = g._replace(poses=poses)
         r, Ji, Jj = jax.vmap(_edge_residual_jac)(
             poses[g.edges_from], poses[g.edges_to], g.edges_meas
         )
         w = _huber_weights(r, g.edges_info, huber_delta) if robust else jnp.ones(r.shape[0])
+        if switch_mask is not None:
+            # graduated non-convexity: anneal Φ from 1e4·Φ down to Φ so good
+            # closures aren't switched off before drift is corrected
+            phi_k = dcs_phi * 10.0 ** (4.0 * (1.0 - k / max(iters - 1, 1)))
+            w = w * _dcs_weights(r, g.edges_info, switch_mask, phi_k)
         H, b = _assemble_dense(gg, r, Ji, Jj, w, damping)
         dx = -jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(H), b)
         dx = dx.reshape(N, 6)
@@ -180,7 +200,7 @@ def optimize_dense(g: PoseGraph, iters: int = 20, damping: float = 1e-6,
         dx = dx * jnp.minimum(1.0, 1.0 / jnp.maximum(nrm, 1e-9))
         return T.retract(poses, dx), None
 
-    poses, _ = jax.lax.scan(step, g.poses, None, length=iters)
+    poses, _ = jax.lax.scan(step, g.poses, jnp.arange(iters, dtype=jnp.float32))
     out = g._replace(poses=poses)
     return out, graph_chi2(out)
 
@@ -200,18 +220,23 @@ def _hx_product(g: PoseGraph, Ji, Jj, info_w, x, fix_diag):
 @partial(jax.jit, static_argnames=("iters", "cg_iters", "robust"))
 def optimize_pcg(g: PoseGraph, iters: int = 15, cg_iters: int = 60,
                  damping: float = 1e-4, robust: bool = False,
-                 huber_delta: float = 1.0) -> Tuple[PoseGraph, jnp.ndarray]:
+                 huber_delta: float = 1.0,
+                 switch_mask: Optional[jnp.ndarray] = None,
+                 dcs_phi: float = 1.0) -> Tuple[PoseGraph, jnp.ndarray]:
     """GN with matrix-free Jacobi-preconditioned CG — scales to large graphs
     and shards cleanly (the Hx product is gather/scatter over the edge
     slab; under `shard_map` edges partition across devices and the scatter
     becomes a psum)."""
     N = g.poses.shape[0]
 
-    def gn_step(poses, _):
+    def gn_step(poses, k):
         r, Ji, Jj = jax.vmap(_edge_residual_jac)(
             poses[g.edges_from], poses[g.edges_to], g.edges_meas
         )
         w = _huber_weights(r, g.edges_info, huber_delta) if robust else jnp.ones(r.shape[0])
+        if switch_mask is not None:
+            phi_k = dcs_phi * 10.0 ** (4.0 * (1.0 - k / max(iters - 1, 1)))
+            w = w * _dcs_weights(r, g.edges_info, switch_mask, phi_k)
         info_w = g.edges_info * (w * g.edge_valid)[:, None, None]
         root_mask = jnp.zeros((N,)).at[g.root].set(1.0)
         fix_diag = (root_mask + (~g.node_valid)) * 1e8 + damping
@@ -254,15 +279,19 @@ def optimize_pcg(g: PoseGraph, iters: int = 15, cg_iters: int = 60,
         dx = dx * jnp.minimum(1.0, 1.0 / jnp.maximum(nrm, 1e-9))
         return T.retract(poses, dx), None
 
-    poses, _ = jax.lax.scan(gn_step, g.poses, None, length=iters)
+    poses, _ = jax.lax.scan(gn_step, g.poses, jnp.arange(iters, dtype=jnp.float32))
     out = g._replace(poses=poses)
     return out, graph_chi2(out)
 
 
 def optimize(g: PoseGraph, iters: int = 20, robust: bool = False,
-             dense_threshold: int = 400):
+             dense_threshold: int = 400,
+             switch_mask: Optional[jnp.ndarray] = None, dcs_phi: float = 1.0):
     """Strategy dispatch mirroring Optimizer::create: dense Cholesky for
-    small graphs, PCG beyond."""
+    small graphs, PCG beyond. ``switch_mask`` marks loop-closure edges as
+    switchable for DCS robust optimization (Optimizer/Robust ≈ Vertigo)."""
     if g.poses.shape[0] <= dense_threshold:
-        return optimize_dense(g, iters=iters, robust=robust)
-    return optimize_pcg(g, iters=iters, robust=robust)
+        return optimize_dense(g, iters=iters, robust=robust,
+                              switch_mask=switch_mask, dcs_phi=dcs_phi)
+    return optimize_pcg(g, iters=iters, robust=robust,
+                        switch_mask=switch_mask, dcs_phi=dcs_phi)

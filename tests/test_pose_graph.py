@@ -106,3 +106,39 @@ def test_edge_validity_mask():
     out, _ = PG.optimize_dense(g2, iters=10)
     # without the closure the chain stays near its noisy init
     assert _ate(out.poses, gt) > 0.5 * _ate(g.poses, gt)
+
+
+def test_dcs_switchable_constraints_disable_outlier_closure():
+    """Vertigo parity (Optimizer/Robust): with a wrong loop closure marked
+    switchable, DCS must drive its weight to ~0 so the solution stays close
+    to the all-good-edges optimum (reference OptimizerG2O.cpp:859)."""
+    g, gt = make_noisy_loop()
+    bad_meas = T.from_xyzrpy(jnp.array([2.0, 2.0, 1.0, 0.5, 0.5, 0.5]))
+    g2 = g._replace(
+        edges_from=jnp.concatenate([g.edges_from, jnp.array([5], jnp.int32)]),
+        edges_to=jnp.concatenate([g.edges_to, jnp.array([20], jnp.int32)]),
+        edges_meas=jnp.concatenate([g.edges_meas, bad_meas[None]]),
+        edges_info=jnp.concatenate([g.edges_info, (jnp.eye(6) / 0.01 ** 2)[None]]),
+        edge_valid=jnp.concatenate([g.edge_valid, jnp.array([True])]),
+    )
+    # only the two closure edges (true last->first + the outlier) switchable
+    E = g2.edges_from.shape[0]
+    switch = jnp.zeros((E,), bool).at[-1].set(True).at[-2].set(True)
+
+    out_plain, _ = PG.optimize_dense(g2, iters=15)
+    out_dcs, _ = PG.optimize_dense(g2, iters=15, switch_mask=switch, dcs_phi=1.0)
+    out_ref, _ = PG.optimize_dense(g, iters=15)  # without the outlier
+
+    ate_plain, ate_dcs, ate_ref = (_ate(out_plain.poses, gt),
+                                   _ate(out_dcs.poses, gt),
+                                   _ate(out_ref.poses, gt))
+    assert ate_dcs < ate_plain * 0.5, (ate_plain, ate_dcs)
+    assert ate_dcs < ate_ref + 0.05, (ate_dcs, ate_ref)
+
+    # the GOOD closure must survive switching (still corrects drift)
+    assert ate_dcs < _ate(g.poses, gt) * 0.65
+
+    # PCG path agrees
+    out_pcg, _ = PG.optimize_pcg(g2, iters=15, cg_iters=80,
+                                 switch_mask=switch, dcs_phi=1.0)
+    assert abs(_ate(out_pcg.poses, gt) - ate_dcs) < 0.05
