@@ -158,3 +158,68 @@ def render_sequence(poses, cam: C.CameraModel, world: World = DEFAULT_WORLD,
         grays.append(g)
         depths.append(d)
     return jnp.stack(grays), jnp.stack(depths)
+
+
+# ----------------------------------------------------------------- lidar
+
+
+def lidar_scan(pose_sw, n_azimuth: int = 360, n_rings: int = 8,
+               room_half=(4.0, 3.0, 1.5), pillars=((1.5, 0.8, 0.4), (-2.0, -1.2, 0.5)),
+               elev_span: float = 0.35, noise: float = 0.0, key=None):
+    """Analytic multi-ring 360-degree LiDAR in a box room with cylindrical
+    pillars (synthetic stand-in for a VLP-16 stream; reference:
+    examples/LidarMapping uses a live Velodyne). Returns (N,3) points in
+    the SENSOR frame + validity mask, N = n_azimuth * n_rings.
+
+    ``pose_sw``: (3,4) sensor-in-world. Room is the axis-aligned box
+    |x|<hx, |y|<hy, |z|<hz; pillars are vertical cylinders (cx, cy, r).
+    """
+    hx, hy, hz = room_half
+    az = jnp.linspace(0.0, 2.0 * jnp.pi, n_azimuth, endpoint=False)
+    el = jnp.linspace(-elev_span, elev_span, n_rings)
+    azg, elg = jnp.meshgrid(az, el, indexing="ij")
+    d_s = jnp.stack([jnp.cos(elg) * jnp.cos(azg),
+                     jnp.cos(elg) * jnp.sin(azg),
+                     jnp.sin(elg)], axis=-1).reshape(-1, 3)   # sensor frame
+    R = pose_sw[:, :3]
+    o = pose_sw[:, 3]
+    d = d_s @ R.T                                             # world frame
+
+    # exit distance through the box (sensor is inside): per-axis slab exit
+    half = jnp.asarray([hx, hy, hz])
+    safe = jnp.where(jnp.abs(d) < 1e-9, 1e-9, d)
+    t_axis = (jnp.sign(safe) * half - o) / safe
+    t = jnp.min(t_axis, axis=-1)
+
+    # cylinder pillars: |o_xy + t d_xy - c|^2 = r^2, keep nearest positive hit
+    for (cx, cy, r) in pillars or ():
+        oc = o[:2] - jnp.asarray([cx, cy])
+        a = jnp.sum(d[:, :2] ** 2, axis=-1)
+        b = 2.0 * (d[:, :2] @ oc)
+        c = jnp.sum(oc ** 2) - r * r
+        disc = b * b - 4 * a * c
+        hit = disc > 0
+        tc = (-b - jnp.sqrt(jnp.where(hit, disc, 0.0))) / jnp.maximum(2 * a, 1e-12)
+        t = jnp.where(hit & (tc > 0.05) & (tc < t), tc, t)
+
+    pts_w = o[None] + t[:, None] * d
+    if noise > 0.0 and key is not None:
+        pts_w = pts_w + noise * jax.random.normal(key, pts_w.shape)
+    pts_s = (pts_w - o[None]) @ R                             # back to sensor
+    valid = (t > 0.05) & jnp.isfinite(t)
+    return pts_s, valid
+
+
+def lidar_trajectory(n: int, radius: float = 2.0, room_half=(4.0, 3.0, 1.5)):
+    """Closed planar loop for the LiDAR sim: sensor circles the room center,
+    x-axis tangent to the motion. Returns (n,3,4) sensor-in-world poses."""
+    poses = []
+    for i in range(n):
+        a = 2.0 * np.pi * i / n
+        pos = np.array([radius * np.cos(a), radius * np.sin(a), 0.0], np.float32)
+        fwd = np.array([-np.sin(a), np.cos(a), 0.0], np.float32)
+        up = np.array([0.0, 0.0, 1.0], np.float32)
+        left = np.cross(up, fwd)
+        Rsw = np.stack([fwd, left, up], axis=1)
+        poses.append(np.concatenate([Rsw, pos[:, None]], axis=1))
+    return jnp.asarray(np.stack(poses))

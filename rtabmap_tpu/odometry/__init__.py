@@ -16,6 +16,7 @@ from typing import Callable, Dict, List
 from rtabmap_tpu.odometry.f2f import OdometryF2F  # noqa: F401
 from rtabmap_tpu.odometry.f2m import OdometryF2M  # noqa: F401
 from rtabmap_tpu.odometry.mono import OdometryMono  # noqa: F401
+from rtabmap_tpu.odometry.scan_f2m import OdometryScanF2M  # noqa: F401
 
 # reference Odom/Strategy numbering (Parameters.h: 0=F2M 1=F2F ... 12=Open3D)
 _STRATEGIES: Dict[int, str] = {
@@ -41,6 +42,10 @@ _REGISTRY: Dict[str, Callable] = {
     "f2m": OdometryF2M,
     "f2f": OdometryF2F,
     "mono": OdometryMono,
+    # the reference reaches scan/ICP odometry through OdometryF2M +
+    # Reg/Strategy=1 (OdometryF2M.cpp scan local map); here it is a
+    # first-class strategy
+    "scan_f2m": OdometryScanF2M,
 }
 _REGISTRY.update({n: _external_stub(n) for n in _EXTERNAL})
 
@@ -58,6 +63,10 @@ def create_odometry(cam, params=None, **kwargs):
 
         p = params or Parameters()
         strategy = _STRATEGIES.get(int(p["Odom/Strategy"]), "f2m")
+        # the reference reaches scan odometry via OdometryF2M + Reg/Strategy=1
+        # (ICP); mirror that dispatch (Registration::create in Odometry ctor)
+        if strategy == "f2m" and int(p["Reg/Strategy"]) == 1:
+            strategy = "scan_f2m"
     if isinstance(strategy, int):
         strategy = _STRATEGIES.get(strategy, "f2m")
     if strategy not in _REGISTRY:

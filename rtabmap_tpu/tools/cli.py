@@ -349,6 +349,40 @@ def tool_reduce_graph(argv: List[str]):
     return len(keep)
 
 
+def tool_lidar_mapping(argv: List[str]):
+    """LiDAR mapping example (reference: examples/LidarMapping/main.cpp).
+
+    With no arguments runs the analytic box-room LiDAR simulator (no
+    Velodyne hardware on a TPU host); prints ATE and map stats.
+    Usage: lidar_mapping [n_frames] [--noise s] [--verbose]
+    """
+    from rtabmap_tpu.tools.lidar_mapping import run_synthetic
+
+    n = 40
+    noise = 0.0
+    verbose = False
+    rest = []
+    it = iter(argv)
+    for a in it:
+        if a == "--noise":
+            noise = float(next(it))
+        elif a == "--verbose":
+            verbose = True
+        else:
+            rest.append(a)
+    if rest:
+        n = int(rest[0])
+    out = run_synthetic(n_frames=n, noise=noise, verbose=verbose)
+    print(f"nodes: {out['nodes']}  loop closures: {len(out['closures'])}  "
+          f"lost: {out['lost']}")
+    if "ate_slam" in out:
+        print(f"ATE RMSE (slam): {out['ate_slam']:.4f} m  "
+              f"(odom: {out['ate_odom']:.4f} m)")
+    if "occupied_voxels" in out:
+        print(f"occupied voxels: {out['occupied_voxels']}")
+    return out
+
+
 def tool_matcher(argv: List[str]):
     """Match two images and estimate their relative pose
     (reference: tools/Matcher/main.cpp). Usage:
@@ -774,6 +808,7 @@ TOOLS = {
     "global_ba": tool_global_ba,
     "reduce_graph": tool_reduce_graph,
     "matcher": tool_matcher,
+    "lidar_mapping": tool_lidar_mapping,
 }
 
 
@@ -783,7 +818,9 @@ def main(argv=None):
         print("usage: python -m rtabmap_tpu.tools.cli <tool> [args...]\n"
               f"tools: {', '.join(sorted(TOOLS))}")
         return 1
-    return TOOLS[argv[0]](argv[1:])
+    ret = TOOLS[argv[0]](argv[1:])
+    # tools return rich dicts for programmatic use; only ints are exit codes
+    return ret if isinstance(ret, int) else 0
 
 
 if __name__ == "__main__":
