@@ -93,6 +93,7 @@ class Rtabmap:
         self.last_proximity_id = 0
         self._last_process_stamp = -1e9
         self._last_pose: Optional[np.ndarray] = None
+        self._distance_travelled: float = 0.0
         self._key = jax.random.PRNGKey(seed)
         self.stats_history: List[Statistics] = []
 
@@ -218,14 +219,20 @@ class Rtabmap:
 
         # --- C. metric gating: small displacement
         small_displacement = False
-        if self.rgbd_mode and self._last_pose is not None:
+        if self._last_pose is not None:
             d = T.relative(jnp.asarray(self._last_pose), jnp.asarray(odom_pose))
             lin = float(T.translation_norm(d))
             ang = float(T.rotation_angle(d))
-            if (self.linear_update > 0 and lin < self.linear_update and
+            self._distance_travelled += lin
+            if (self.rgbd_mode and
+                    self.linear_update > 0 and lin < self.linear_update and
                     self.angular_update > 0 and ang < self.angular_update):
                 small_displacement = True
         self._last_pose = odom_pose
+        st.add("Memory/Small movement/", float(small_displacement))
+        st.add("Memory/Distance travelled/m", self._distance_travelled)
+        st.add("Memory/Odometry variance lin/", float(cov[0, 0]))
+        st.add("Memory/Odometry variance ang/", float(cov[5, 5]))
 
         # --- D. appearance hypothesis
         hypothesis_id, hypothesis_value = 0, 0.0
@@ -238,6 +245,7 @@ class Rtabmap:
             hypothesis_id, hypothesis_value = self._select_hypothesis(post)
             st.add("Loop/Highest hypothesis id/", hypothesis_id)
             st.add("Loop/Highest hypothesis value/", hypothesis_value)
+            st.add("Loop/Vp hypothesis/", float(np.asarray(post)[-1]))
 
         # --- accept rules
         accepted_id = 0
@@ -251,6 +259,13 @@ class Rtabmap:
                 log.debug("rejected hypothesis: loop ratio")
             else:
                 accepted_id = hypothesis_id
+        st.add("Loop/Accepted hypothesis id/", accepted_id)
+        st.add("Loop/RejectedHypothesis/",
+               float(hypothesis_id > 0 and hypothesis_value >= self.loop_thr
+                     and accepted_id == 0))
+        if self.last_hypothesis[1] > 0:
+            st.add("Loop/Hypothesis ratio/",
+                   hypothesis_value / self.last_hypothesis[1])
         self.last_hypothesis = (hypothesis_id, hypothesis_value)
 
         # --- E. retrieval: page hypothesis neighborhood back from LTM,
@@ -266,6 +281,7 @@ class Rtabmap:
                 if ltm_ids:
                     got = self.memory.retrieve(ltm_ids)
                     st.add("Memory/Retrieved/", len(got))
+                    st.add("Memory/Signatures retrieved/", len(got))
 
         # --- G. loop-closure transform
         links_added: List[Link] = []
@@ -313,6 +329,7 @@ class Rtabmap:
                         links_added.append(lk)
                         n_time += 1
                 st.add("Proximity/Time links added/", n_time)
+                st.add("Proximity/Time detections/", n_time)
 
         # --- F. proximity detection (local space closures)
         if self.rgbd_mode and not small_displacement and self.local_radius > 0:
@@ -320,6 +337,12 @@ class Rtabmap:
                 prox_links = self._proximity_detection(sig)
                 links_added.extend(prox_links)
                 st.add("Proximity/Space links added/", len(prox_links))
+                st.add("Proximity/Space detections added visually/",
+                       sum(1 for lk in prox_links
+                           if lk.type == LINK_LOCAL_SPACE_CLOSURE))
+                if prox_links:
+                    st.add("Proximity/Space last detection id/",
+                           prox_links[-1].from_id)
 
         # --- I. graph optimization (+ max-error reject gate) — or, in
         # localization mode, a direct map-correction update (the reference
@@ -361,8 +384,32 @@ class Rtabmap:
         st.loop_closure_id = self.loop_closure_id if accepted_id else 0
         st.add("Memory/Working memory size/", len(self.memory.wm))
         st.add("Memory/Short time memory size/", len(self.memory.stm))
+        st.add("Memory/Local graph size/", self.memory.n_resident)
+        st.add("Memory/Rehearsal sim/",
+               getattr(self.memory, "last_rehearsal_sim", 0.0))
+        st.add("Memory/Rehearsal id/",
+               getattr(self.memory, "last_rehearsal_id", 0))
+        st.add("Memory/Rehearsal merged/", st.get("Memory/RehearsalMerged"))
         st.add("Keypoint/Dictionary size/words", self.memory.vocab.n_words)
+        st.add("Keypoint/Current frame/words",
+               int(np.sum(np.asarray(sig.word_ids) >= 0)))
+        st.add("Keypoint/Indexed words/words", self.memory.vocab.n_words)
         st.add("Loop/Id/", accepted_id)
+        st.add("Loop/Map id/", sig.map_id)
+        st.add("Loop/Last id/", self.loop_closure_id)
+        if self.memory.db is not None and getattr(self.memory.db, "path", None):
+            import os as _os
+
+            if _os.path.exists(self.memory.db.path):
+                st.add("Memory/Database memory used/MB",
+                       _os.path.getsize(self.memory.db.path) / 1e6)
+        try:
+            import resource
+
+            st.add("Memory/RAM usage/MB",
+                   resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0)
+        except Exception:
+            pass
         st.add("Timing/Total/ms", timer.elapsed() * 1000.0)
         self.stats_history.append(st)
         return st

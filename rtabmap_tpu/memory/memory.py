@@ -304,6 +304,8 @@ class Memory:
             return False
         prev = self.signatures[self.stm[-1]]
         sim = self.similarity(sig, prev)
+        self.last_rehearsal_sim = sim          # Statistics: Memory/Rehearsal sim/
+        self.last_rehearsal_id = prev.id
         if sim >= self.rehearsal_sim:
             sig.weight = prev.weight + 1
             return True

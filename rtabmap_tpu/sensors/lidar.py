@@ -157,3 +157,25 @@ class LidarVLP16:
         return make_scan(pts[:, :4], fmt=ScanFormat.XYZI,
                          valid=jnp.asarray(valid), max_range=self.max_range,
                          local_transform=self.local_transform)
+
+
+def deskew(points, times, velocity_twist, stamp: float = 0.0):
+    """Constant-motion LiDAR deskewing (reference: util3d::deskew,
+    corelib/src/util3d.cpp — points captured at per-point times during a
+    sweep are re-expressed in the frame at ``stamp`` using a constant
+    velocity model; used by SensorCaptureThread when OdomSensor/Deskewing).
+
+    ``points`` (N,3) sensor-frame, ``times`` (N,) absolute or sweep-relative
+    seconds, ``velocity_twist`` (6,) se(3)/s. Fully jittable (vmapped
+    exp-map over the point axis, no host loop).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from rtabmap_tpu.geometry import transform as T
+
+    pts = jnp.asarray(points, jnp.float32)
+    dt = jnp.asarray(times, jnp.float32) - stamp
+    xi = jnp.asarray(velocity_twist, jnp.float32)
+    Ts = jax.vmap(lambda d: T.se3_exp(xi * d))(dt)      # (N,3,4)
+    return jnp.einsum("nij,nj->ni", Ts[:, :, :3], pts) + Ts[:, :, 3]

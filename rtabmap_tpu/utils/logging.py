@@ -86,3 +86,19 @@ class Statistics:
 
     def group(self, prefix: str) -> Dict[str, float]:
         return {k: v for k, v in self.data.items() if k.startswith(prefix)}
+
+    _registry_cache = None
+
+    @classmethod
+    def reference_registry(cls):
+        """The reference's full declared statistic catalog (164 names from
+        RTABMAP_STATS macros, Statistics.h:43+), in its published
+        'Prefix/Name with spaces/unit' key form."""
+        if cls._registry_cache is None:
+            import json
+            import os
+
+            path = os.path.join(os.path.dirname(__file__), "stats_registry.json")
+            with open(path) as f:
+                cls._registry_cache = tuple(json.load(f))
+        return cls._registry_cache

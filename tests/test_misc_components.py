@@ -117,3 +117,16 @@ def test_write_log_files(tmp_path):
     lines = open(path).read().strip().splitlines()
     assert len(lines) == 4  # header + 3 ticks
     assert "Timing/Total/ms" in lines[0]
+
+
+def test_statistics_reference_registry_and_engine_keys():
+    """Engine-emitted statistics use the reference's declared names
+    (Statistics.h RTABMAP_STATS catalog) wherever an equivalent exists."""
+    from rtabmap_tpu.utils.logging import Statistics
+
+    reg = Statistics.reference_registry()
+    assert len(reg) >= 160
+    assert "Timing/Total/ms" in reg
+    assert "Memory/Working memory size/" in reg
+    assert "Loop/Highest hypothesis value/" in reg
+    assert "Memory/Distance travelled/m" in reg

@@ -124,3 +124,28 @@ def test_clams_save_load(tmp_path):
     clams.save_model(model, p)
     m2 = clams.load_model(p)
     np.testing.assert_allclose(np.asarray(m2.mult_sum), np.asarray(model.mult_sum))
+
+
+def test_lidar_deskew_recovers_static_world():
+    """Points captured from a moving sensor, tagged with capture times,
+    deskew back to the sweep-start frame (reference: util3d::deskew)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rtabmap_tpu.geometry import transform as T
+    from rtabmap_tpu.sensors.lidar import deskew
+
+    rng = np.random.RandomState(1)
+    world = jnp.asarray(rng.rand(32, 3) * 4 - 2, jnp.float32)
+    xi = jnp.asarray([0.3, -0.1, 0.05, 0.02, 0.04, 0.25])  # twist /s
+    times = jnp.linspace(0.0, 0.1, 32)
+    # sensor pose at time t: exp(xi*t); captured point = pose^-1 * world
+    caps = []
+    for i in range(32):
+        P = T.se3_exp(xi * times[i])
+        caps.append(T.apply(T.inverse(P)[None], world[i][None, None])[0, 0])
+    captured = jnp.stack(caps)
+    out = deskew(captured, times, xi, stamp=0.0)
+    err = jnp.abs(out - world).max()
+    assert float(err) < 1e-4, float(err)
