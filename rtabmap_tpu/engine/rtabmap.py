@@ -74,6 +74,8 @@ class Rtabmap:
         self.max_error = float(p["RGBD/OptimizeMaxError"])
         self.local_radius = float(p["RGBD/LocalRadius"])
         self.prox_max_paths = int(p["RGBD/ProximityMaxPaths"])
+        self.prox_merged_scan_cov_factor = float(
+            p["RGBD/ProximityMergedScanCovFactor"])
         self.proximity_by_time = bool(p["RGBD/ProximityByTime"])
         self.neighbor_link_refining = bool(p["RGBD/NeighborLinkRefining"])
         self.time_thr = float(p["Rtabmap/TimeThr"])        # ms, 0 = off
@@ -337,9 +339,10 @@ class Rtabmap:
                 prox_links = self._proximity_detection(sig)
                 links_added.extend(prox_links)
                 st.add("Proximity/Space links added/", len(prox_links))
-                st.add("Proximity/Space detections added visually/",
-                       sum(1 for lk in prox_links
-                           if lk.type == LINK_LOCAL_SPACE_CLOSURE))
+                n_vis, n_icp = getattr(self, "_last_prox_counts",
+                                       (len(prox_links), 0))
+                st.add("Proximity/Space detections added visually/", n_vis)
+                st.add("Proximity/Space detections added icp multi/", n_icp)
                 if prox_links:
                     st.add("Proximity/Space last detection id/",
                            prox_links[-1].from_id)
@@ -524,7 +527,57 @@ class Rtabmap:
                 out.append(lk)
                 self.last_proximity_id = i
                 break  # one proximity link per tick (nearest path)
+
+        # scan-matching proximity vs the ASSEMBLED local scan map of the
+        # nearby path (reference: Memory::computeIcpTransformMulti,
+        # Rtabmap.cpp:3038 — proximityMergedScanCovFactor :3088). Runs when
+        # the current node carries a scan and nearby nodes do too; catches
+        # closures in feature-poor / LiDAR-only operation.
+        self._last_prox_counts = (len(out), 0)
+        if (not out and getattr(sig, "scan", None) is not None and cands):
+            scan_ids = [i for _, i in cands[: self.prox_max_paths]
+                        if getattr(mem.get(i), "scan", None) is not None]
+            if scan_ids:
+                icp_links = self._proximity_scan_multi(sig, scan_ids, cur_pose)
+                out.extend(icp_links)
+                self._last_prox_counts = (0, len(icp_links))
         return out
+
+    def _proximity_scan_multi(self, sig: Signature, scan_ids: List[int],
+                              cur_pose) -> List[Link]:
+        """Register the current scan against nearby nodes' scans assembled
+        in the nearest node's frame (computeIcpTransformMulti parity)."""
+        from rtabmap_tpu.ops.icp import register_scans
+
+        mem = self.memory
+        anchor = scan_ids[0]
+        anchor_pose = jnp.asarray(self.optimized_poses[anchor])
+        A_inv = T.inverse(anchor_pose)
+        pts_list, valid_list = [], []
+        for i in scan_ids:
+            s = mem.get(i).scan
+            rel = T.compose(A_inv, jnp.asarray(self.optimized_poses[i]))
+            pts_list.append(np.asarray(T.apply(rel[None], s.xyz()[None])[0]))
+            valid_list.append(np.asarray(s.valid))
+        pts = np.concatenate(pts_list)
+        valid = np.concatenate(valid_list)
+        # cap the assembled slab (static-shape discipline: one pow2 bucket)
+        cap = 1 << max(pts.shape[0] - 1, 1).bit_length()
+        if cap > pts.shape[0]:
+            pts = np.concatenate([pts, np.zeros((cap - pts.shape[0], 3), np.float32)])
+            valid = np.concatenate([valid, np.zeros(cap - valid.shape[0], bool)])
+        guess = T.relative(anchor_pose, jnp.asarray(cur_pose))
+        res, icp_cov = register_scans(
+            sig.scan.xyz(), sig.scan.valid, jnp.asarray(pts),
+            jnp.asarray(valid), guess=guess)
+        if not bool(res.valid):
+            return []
+        cov = np.asarray(icp_cov) * self.prox_merged_scan_cov_factor
+        lk = Link(anchor, sig.id, LINK_LOCAL_SPACE_CLOSURE,
+                  np.asarray(res.transform), info_from_cov(cov))
+        mem.add_link(lk)
+        self.last_proximity_id = anchor
+        return [lk]
 
     # ------------------------------------------------------------ optimization
     def _build_graph(self):

@@ -57,3 +57,40 @@ def test_neighbor_link_scan_refining():
     err_ref = np.linalg.norm(lk.transform[:, 3] - true_rel[:, 3])
     err_biased = np.linalg.norm(biased_rel[:, 3] - true_rel[:, 3])
     assert err_ref < err_biased * 0.7, (err_ref, err_biased)
+
+
+def test_proximity_scan_multi_closure():
+    """Scan-matching proximity vs the assembled local scan map
+    (reference: Memory::computeIcpTransformMulti, Rtabmap.cpp:3038):
+    with feature-poor frames (no visual registration possible) a
+    loop-return is still closed through multi-scan ICP."""
+    cam = C.CameraModel.make(160.0, 160.0, 79.5, 59.5, 160, 120)
+    rng = np.random.default_rng(0)
+    ext = jax.jit(lambda g, d: extract_features(g, d, cam, 128))
+    p = Parameters({
+        "Rtabmap/DetectionRate": 0,
+        "RGBD/LocalRadius": 2.0,
+        "Rtabmap/LoopThr": 2.0,        # disable appearance closures
+        "Icp/MaxCorrespondenceDistance": 0.5,
+    })
+    slam = Rtabmap(cam, p, node_capacity=64, words_per_frame=128)
+
+    # square path that returns near the start; random images (features
+    # won't re-match visually), exact scans of the shared room
+    wp = np.array([[0, 0], [0.8, 0], [1.7, 0], [2.5, 0],
+                   [2.5, 0.8], [2.5, 1.7], [2.5, 2.5],
+                   [1.7, 2.5], [0.8, 2.5], [0, 2.5],
+                   [0, 1.7], [0, 0.8], [0.3, 0.2]], np.float32)
+    poses = []
+    for x, z in wp:
+        P = np.eye(3, 4, dtype=np.float32)
+        P[0, 3], P[2, 3] = x, z
+        poses.append(P)
+    icp_multi = 0
+    for k, P in enumerate(poses):
+        g = jnp.asarray(rng.random((120, 160), np.float32))
+        d = jnp.asarray(1.0 + rng.random((120, 160), np.float32))
+        st = slam.process(ext(g, d), P, np.eye(6) * 1e-4, stamp=float(k + 1),
+                          scan=_room_scan(jnp.asarray(P), seed=k))
+        icp_multi += st.get("Proximity/Space detections added icp multi/", 0)
+    assert icp_multi >= 1, "no scan-multi proximity closure added"
