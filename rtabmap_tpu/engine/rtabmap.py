@@ -76,6 +76,9 @@ class Rtabmap:
         self.prox_max_paths = int(p["RGBD/ProximityMaxPaths"])
         self.prox_merged_scan_cov_factor = float(
             p["RGBD/ProximityMergedScanCovFactor"])
+        self.prox_global_scan_map = bool(p["RGBD/ProximityGlobalScanMap"])
+        self._global_scan_cache = None  # (n_nodes_when_built, pts, valid)
+        self._pending_initial_pose: Optional[np.ndarray] = None
         self.proximity_by_time = bool(p["RGBD/ProximityByTime"])
         self.neighbor_link_refining = bool(p["RGBD/NeighborLinkRefining"])
         self.time_thr = float(p["Rtabmap/TimeThr"])        # ms, 0 = off
@@ -186,6 +189,15 @@ class Rtabmap:
         # --- odometry failure -> new session (covariance >= 9999 convention)
         if cov[0, 0] >= 9999.0 and self.memory.n_resident > 0:
             self.trigger_new_map()
+
+        # --- user-seeded relocalization prior (reference:
+        # Rtabmap::setInitialPose — in localization mode the next frame is
+        # remapped so the robot starts at the given map pose)
+        if self._pending_initial_pose is not None:
+            self.map_correction = np.asarray(
+                T.compose(jnp.asarray(self._pending_initial_pose),
+                          T.inverse(jnp.asarray(odom_pose))))
+            self._pending_initial_pose = None
 
         # --- B. memory update
         with st.time_stage("Timing/Memory update/ms"):
@@ -353,6 +365,18 @@ class Rtabmap:
         # Rtabmap.cpp:3300+; the correction below is the zero-cache case)
         if not self.memory.incremental:
             loc_link = next((lk for lk in links_added), None)
+            # scan localization against the assembled GLOBAL scan map
+            # (reference: RGBD/ProximityGlobalScanMap, Rtabmap.cpp
+            # localization-mode global scan map) when no visual/proximity
+            # link localized this frame
+            if (loc_link is None and self.prox_global_scan_map
+                    and getattr(sig, "scan", None) is not None):
+                corrected = self._localize_global_scan(sig, odom_pose)
+                if corrected is not None:
+                    self.map_correction = np.asarray(
+                        T.compose(jnp.asarray(corrected),
+                                  T.inverse(jnp.asarray(odom_pose))))
+                    st.add("Loop/Localized/", 1)
             if loc_link is not None and loc_link.to_id == sig.id:
                 anchor = self.optimized_poses.get(loc_link.from_id)
                 if anchor is not None:
@@ -542,6 +566,54 @@ class Rtabmap:
                 out.extend(icp_links)
                 self._last_prox_counts = (0, len(icp_links))
         return out
+
+    def set_initial_pose(self, pose) -> None:
+        """Seed the localization-mode map correction: the next processed
+        frame will be placed at ``pose`` in the map frame (reference:
+        Rtabmap::setInitialPose, Rtabmap.h)."""
+        self._pending_initial_pose = np.asarray(pose, np.float32)
+
+    def _localize_global_scan(self, sig: Signature, odom_pose):
+        """Register the current scan against the GLOBAL assembled scan map
+        (reference: RGBD/ProximityGlobalScanMap — in localization mode the
+        whole map's scans are kept assembled; the current scan is matched
+        against it to recover the map correction). Returns the corrected
+        world pose of the current node, or None."""
+        from rtabmap_tpu.ops.cloud import voxel_filter
+        from rtabmap_tpu.ops.icp import register_scans
+
+        mem = self.memory
+        scan_nodes = [i for i in (mem.wm + mem.stm)
+                      if i != sig.id and getattr(mem.get(i), "scan", None) is not None
+                      and i in self.optimized_poses]
+        if not scan_nodes:
+            return None
+        if (self._global_scan_cache is None
+                or self._global_scan_cache[0] != len(scan_nodes)):
+            pts_list, valid_list = [], []
+            for i in scan_nodes:
+                s = mem.get(i).scan
+                P = jnp.asarray(self.optimized_poses[i])
+                pts_list.append(np.asarray(T.apply(P[None], s.xyz()[None])[0]))
+                valid_list.append(np.asarray(s.valid))
+            pts = np.concatenate(pts_list)
+            valid = np.concatenate(valid_list)
+            cap = 1 << max(pts.shape[0] - 1, 1).bit_length()
+            if cap > pts.shape[0]:
+                pts = np.concatenate(
+                    [pts, np.zeros((cap - pts.shape[0], 3), np.float32)])
+                valid = np.concatenate(
+                    [valid, np.zeros(cap - valid.shape[0], bool)])
+            pts_j = jnp.asarray(pts)
+            valid_j = voxel_filter(pts_j, jnp.asarray(valid), 0.05)
+            self._global_scan_cache = (len(scan_nodes), pts_j, valid_j)
+        _, map_pts, map_valid = self._global_scan_cache
+        guess = T.compose(jnp.asarray(self.map_correction), jnp.asarray(odom_pose))
+        res, _cov = register_scans(sig.scan.xyz(), sig.scan.valid,
+                                   map_pts, map_valid, guess=guess, voxel=0.0)
+        if not bool(res.valid):
+            return None
+        return np.asarray(T.orthonormalize(res.transform))
 
     def _proximity_scan_multi(self, sig: Signature, scan_ids: List[int],
                               cur_pose) -> List[Link]:

@@ -57,3 +57,63 @@ def test_localization_against_frozen_map(tmp_path):
                                       if s.map_id == 0 and not s.in_ltm])
     assert len(loc.memory.signatures) <= n_map_nodes + loc.memory.stm_size + 6
     db2.close()
+
+
+def test_scan_localization_global_scan_map(tmp_path):
+    """LiDAR localization: RGBD/ProximityGlobalScanMap registers the
+    current scan against the assembled global scan map and recovers the
+    map correction (reference: Rtabmap localization-mode global scan map)."""
+    from rtabmap_tpu.core.laser_scan import ScanFormat, make_scan
+    from rtabmap_tpu.datasets import synthetic as S2
+
+    path = str(tmp_path / "scanmap.db")
+    rng = np.random.default_rng(0)
+    extract = jax.jit(lambda g, d: extract_features(g, d, CAM, 128))
+
+    def scan_at(P, seed):
+        pts, valid = S2.lidar_scan(jnp.asarray(P), n_azimuth=180, n_rings=6)
+        return make_scan(pts, fmt=ScanFormat.XYZ, valid=valid)
+
+    traj = S2.lidar_trajectory(24, radius=2.0)
+
+    def rand_frame():
+        g = jnp.asarray(rng.random((240, 320), np.float32))
+        d = jnp.asarray(1.0 + rng.random((240, 320), np.float32))
+        return extract(g, d)
+
+    db = Database(path)
+    p_map = Parameters({"Rtabmap/LoopThr": 2.0, "RGBD/LocalRadius": 0.0,
+                        "Rtabmap/DetectionRate": 0})
+    slam = Rtabmap(CAM, p_map, db=db, node_capacity=64, words_per_frame=128)
+    for i in range(0, 24, 2):
+        slam.process(rand_frame(), np.asarray(traj[i]), np.eye(6) * 1e-4,
+                     stamp=float(i + 1), scan=scan_at(traj[i], i))
+    slam.close()
+    db.close()
+
+    db2 = Database(path)
+    p_loc = Parameters({"Mem/IncrementalMemory": False,
+                        "Rtabmap/LoopThr": 2.0,
+                        "RGBD/ProximityGlobalScanMap": True,
+                        "Rtabmap/DetectionRate": 0,
+                        "Icp/MaxCorrespondenceDistance": 0.5})
+    loc = Rtabmap.load(db2, CAM, p_loc, node_capacity=64,
+                       words_per_frame=128, new_session=True)
+    start = 8
+    T0 = jnp.asarray(traj[start])
+    # seed a rough prior (reference: Rtabmap::setInitialPose): ~0.25 m /
+    # ~8 deg off the true restart pose; scan ICP must pull it in
+    perturb = T.se3_exp(jnp.asarray([0.2, -0.15, 0.0, 0.0, 0.0, 0.15]))
+    loc.set_initial_pose(np.asarray(T.compose(T0, perturb)))
+    errs = []
+    for i in range(start, start + 6, 2):
+        odom_pose = np.asarray(T.relative(T0, jnp.asarray(traj[i])))
+        st = loc.process(rand_frame(), odom_pose, np.eye(6) * 1e-4,
+                         stamp=float(100 + i), scan=scan_at(traj[i], 100 + i))
+        if st.get("Loop/Localized/", 0):
+            cur = loc.optimized_poses[st.ref_id]
+            errs.append(float(jnp.linalg.norm(
+                T.se3_log(T.relative(jnp.asarray(cur), jnp.asarray(traj[i]))))))
+    assert errs, "never scan-localized against the global scan map"
+    assert min(errs) < 0.1, errs
+    db2.close()
