@@ -818,10 +818,10 @@ def main(argv=None):
         print("usage: python -m rtabmap_tpu.tools.cli <tool> [args...]\n"
               f"tools: {', '.join(sorted(TOOLS))}")
         return 1
-    ret = TOOLS[argv[0]](argv[1:])
-    # tools return rich dicts for programmatic use; only ints are exit codes
-    return ret if isinstance(ret, int) else 0
+    return TOOLS[argv[0]](argv[1:])
 
 
 if __name__ == "__main__":
-    sys.exit(main() or 0)
+    # tools return rich dicts for programmatic use; only ints are exit codes
+    _ret = main()
+    sys.exit(_ret if isinstance(_ret, int) else 0)
