@@ -33,7 +33,10 @@ class CameraModel(NamedTuple):
 
     @staticmethod
     def make(fx, fy, cx, cy, width=0, height=0, dist=None, local_transform=None):
-        f32 = lambda v: jnp.asarray(v, jnp.float32)
+        # HOST scalars/arrays, not device arrays: a 0-d device array captured
+        # as a jit closure constant is re-fed per call (~ms each through the
+        # TPU tunnel); numpy scalars fold into the compiled program for free.
+        f32 = lambda v: np.asarray(v, np.float32)
         return CameraModel(
             f32(fx), f32(fy), f32(cx), f32(cy), int(width), int(height),
             None if dist is None else f32(dist),
@@ -67,7 +70,7 @@ class StereoCameraModel(NamedTuple):
     @staticmethod
     def make(fx, fy, cx, cy, baseline, width=0, height=0, local_transform=None):
         cam = CameraModel.make(fx, fy, cx, cy, width, height, local_transform=local_transform)
-        return StereoCameraModel(cam, cam, jnp.asarray(baseline, jnp.float32))
+        return StereoCameraModel(cam, cam, np.asarray(baseline, np.float32))
 
 
 # --------------------------------------------------------------------------- ops

@@ -332,7 +332,9 @@ def keypoints_3d_from_depth(kps: Keypoints, depth, cam, min_depth=0.1, max_depth
     """
     from rtabmap_tpu.geometry import camera as C
 
-    z = im.bilinear_sample(depth, kps.uv, pad_value=0.0)
+    # one-hot-matmul sampling: point gathers at keypoint locations lower to
+    # ~us-per-element scalar loads on TPU (see ops/linalg.py notes)
+    z = im.bilinear_sample_mm(depth, kps.uv, pad_value=0.0)
     ok = kps.valid & (z > min_depth) & (z < max_depth)
     pts = C.backproject(kps.uv, z, cam)
     return jnp.where(ok[:, None], pts, 0.0), ok

@@ -154,6 +154,29 @@ def bilinear_sample_ds(img, uv, pad_value: float = 0.0):
     return jnp.where(ok, s, pad_value)
 
 
+def bilinear_sample_mm(img, uv, pad_value: float = 0.0):
+    """Bilinear sample of (H,W) at (N,2) as two one-hot MATMULS instead of
+    point gathers: z = (Wv @ img) . Wu with Wv (N,H) / Wu (N,W) carrying the
+    two bilinear taps per axis. Point gathers lower to ~us-per-element
+    scalar loads on TPU; this form rides the MXU (N*H*W MACs — trivial for
+    keypoint counts) and fuses cleanly into larger jits."""
+    H, W = img.shape
+    u = jnp.clip(uv[:, 0], 0.0, W - 1.0)
+    v = jnp.clip(uv[:, 1], 0.0, H - 1.0)
+    u0 = jnp.floor(u)
+    v0 = jnp.floor(v)
+    du = (u - u0)[:, None]
+    dv = (v - v0)[:, None]
+    rows = jnp.arange(H, dtype=jnp.float32)[None, :]
+    cols = jnp.arange(W, dtype=jnp.float32)[None, :]
+    wv = (rows == v0[:, None]) * (1.0 - dv) + (rows == v0[:, None] + 1.0) * dv
+    wu = (cols == u0[:, None]) * (1.0 - du) + (cols == u0[:, None] + 1.0) * du
+    z = jnp.sum((wv @ img) * wu, axis=-1)
+    ok = ((uv[:, 0] >= 0) & (uv[:, 0] <= W - 1)
+          & (uv[:, 1] >= 0) & (uv[:, 1] <= H - 1))
+    return jnp.where(ok, z, pad_value)
+
+
 def max_pool_same(img, size: int):
     """Max filter with 'same' padding on (...,H,W) — used for NMS."""
     batch = img.shape[:-2]

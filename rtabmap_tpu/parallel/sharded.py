@@ -168,6 +168,74 @@ def sharded_pcg_step(mesh: Mesh, poses, edges_from, edges_to, edges_meas,
     return fn(poses, edges_from, edges_to, edges_meas, edges_info, edge_valid)
 
 
+# ------------------------------------------------------------ distributed BA
+
+
+def sharded_ba_step(mesh: Mesh, poses, points, cam_idx, pt_idx, uv, valid,
+                    fixed_cams, damping: float = 1e-3, huber: float = 0.01,
+                    axis: str = "shard"):
+    """One distributed Schur-complement LM/GN bundle-adjustment step with the
+    OBSERVATION slab sharded over the mesh axis (poses/points replicated).
+
+    The reference's ``Optimizer::optimizeBA`` backends (OptimizerG2O.cpp:1429)
+    are single-machine sparse solvers; here the per-observation
+    residual/Jacobian work — the O(No) part that dominates large BA — runs
+    shard-local and the camera/point normal-equation blocks are psum-reduced
+    over ICI. The reduced camera system (small: 6·Nc) is solved replicated on
+    every chip. Same math as ``optim.ba.bundle_adjust``'s inner step.
+
+    Returns (new_poses (Nc,3,4), new_points (Np,3)).
+    """
+    from rtabmap_tpu.geometry import transform as T
+    from rtabmap_tpu.ops import linalg as L3
+    from rtabmap_tpu.optim.ba import _residual_jac
+
+    Nc = poses.shape[0]
+    Np = points.shape[0]
+
+    def local(poses, points, ci, pi, uv, ok):
+        r, Jc, Jp, depth = jax.vmap(_residual_jac)(poses[ci], points[pi], uv)
+        nrm = jnp.linalg.norm(r, axis=-1)
+        w = (jnp.where(nrm <= huber, 1.0, huber / jnp.maximum(nrm, 1e-12))
+             * (ok & (depth > 0.01)))
+        JcT_w = Jc * w[:, None, None]
+        Jp_w = Jp * w[:, None, None]
+
+        def red(x):
+            return jax.lax.psum(x, axis)
+
+        B = red(jnp.zeros((Nc, 6, 6)).at[ci].add(jnp.einsum("ori,orj->oij", JcT_w, Jc)))
+        C = red(jnp.zeros((Np, 3, 3)).at[pi].add(jnp.einsum("ori,orj->oij", Jp_w, Jp)))
+        bc = red(jnp.zeros((Nc, 6)).at[ci].add(jnp.einsum("ori,or->oi", JcT_w, r)))
+        bp = red(jnp.zeros((Np, 3)).at[pi].add(jnp.einsum("ori,or->oi", Jp_w, r)))
+        E = red(jnp.zeros((Nc, Np, 6, 3)).at[ci, pi].add(
+            jnp.einsum("ori,orj->oij", JcT_w, Jp)))
+
+        fix = fixed_cams.astype(jnp.float32) * 1e8
+        B = B + jnp.eye(6)[None] * (damping + fix[:, None, None])
+        C = C + jnp.eye(3)[None] * damping
+        Cinv = L3.inv3(C)
+
+        ECE = jnp.einsum("apik,pkl,bpjl->aibj", E, Cinv, E)
+        S = jnp.zeros((Nc, 6, Nc, 6))
+        S = S.at[jnp.arange(Nc), :, jnp.arange(Nc), :].add(B)
+        S = (S - ECE).reshape(6 * Nc, 6 * Nc)
+        v = bc - jnp.einsum("apik,pkl,pl->ai", E, Cinv, bp)
+        dxc = -jnp.linalg.solve(S + 1e-8 * jnp.eye(6 * Nc),
+                                v.reshape(-1)).reshape(Nc, 6)
+        dxp = -jnp.einsum("pkl,pl->pk", Cinv,
+                          bp + jnp.einsum("apik,ai->pk", E, dxc))
+        dxc = jnp.where(fixed_cams[:, None], 0.0, dxc)
+        return jax.vmap(T.retract_left)(poses, dxc), points + dxp
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(axis), P(axis, None), P(axis)),
+        out_specs=(P(), P()),
+    )
+    return fn(poses, points, cam_idx, pt_idx, uv, valid)
+
+
 # -------------------------------------------------------- data-parallel VO
 
 

@@ -70,6 +70,59 @@ def test_sharded_pcg_step_improves_chi2():
     assert chi1 < chi0 * 0.2, (chi0, chi1)
 
 
+def test_sharded_ba_step_matches_single_device_reduction():
+    """Distributed BA step (observations sharded over 8 devices) must reduce
+    reprojection cost on a synthetic noisy problem, and leave fixed cameras
+    untouched."""
+    from rtabmap_tpu.optim import ba as BA
+    from rtabmap_tpu.geometry import transform as T
+
+    rng = np.random.RandomState(3)
+    Nc, Np = 4, 24
+    pts = rng.rand(Np, 3).astype(np.float32) * 2 - 1 + np.array([0, 0, 4.0])
+    poses_gt = np.stack([
+        np.asarray(T.from_xyzrpy(jnp.asarray([0.3 * c, 0.0, 0.0, 0, 0, 0])))
+        for c in range(Nc)
+    ])
+    ci = np.repeat(np.arange(Nc), Np).astype(np.int32)
+    pi = np.tile(np.arange(Np), Nc).astype(np.int32)
+
+    def project(Tcw, p):
+        pc = Tcw[:, :3] @ p + Tcw[:, 3]
+        return pc[:2] / pc[2]
+
+    uv = np.stack([project(poses_gt[c], pts[p]) for c, p in zip(ci, pi)])
+    # perturb
+    poses0 = poses_gt.copy()
+    poses0[1:, :, 3] += rng.randn(Nc - 1, 3) * 0.02
+    pts0 = pts + rng.randn(Np, 3).astype(np.float32) * 0.02
+    fixed = np.zeros((Nc,), bool)
+    fixed[0] = True
+
+    prob = BA.BAProblem(
+        poses=jnp.asarray(poses0), points=jnp.asarray(pts0),
+        cam_idx=jnp.asarray(ci), pt_idx=jnp.asarray(pi),
+        uv=jnp.asarray(uv, jnp.float32), valid=jnp.ones((Nc * Np,), bool),
+        fixed_cams=jnp.asarray(fixed),
+    )
+
+    def cost(poses, points):
+        r, _, _, _ = jax.vmap(BA._residual_jac)(
+            poses[prob.cam_idx], points[prob.pt_idx], prob.uv)
+        return float(jnp.sum(r * r))
+
+    mesh = SH.make_mesh(8)
+    poses, points = prob.poses, prob.points
+    c0 = cost(poses, points)
+    for _ in range(5):
+        poses, points = SH.sharded_ba_step(
+            mesh, poses, points, prob.cam_idx, prob.pt_idx, prob.uv,
+            prob.valid, prob.fixed_cams, damping=1e-4)
+    c1 = cost(poses, points)
+    assert c1 < c0 * 0.05, (c0, c1)
+    np.testing.assert_allclose(np.asarray(poses[0]), poses0[0], atol=1e-6)
+
+
 def test_sharded_vo_fleet():
     from rtabmap_tpu.datasets import synthetic as S
     from rtabmap_tpu.geometry import camera as C
