@@ -41,14 +41,23 @@ def main():
 
     step = jax.jit(jax.vmap(fn))
     out = step(ga, da, gb, db, keys)
-    jax.tree_util.tree_map(lambda x: x.block_until_ready(), out)
+    # NOTE: through the tunneled TPU platform, block_until_ready() can return
+    # before execution finishes — a host fetch of one output element is the
+    # only trustworthy sync. Timing = queued dispatches + one final fetch,
+    # with the tunnel round-trip measured separately and subtracted.
+    _ = np.asarray(out[1][0])
+    triv = jax.jit(lambda x: x + 1)
+    _ = np.asarray(triv(out[1][0]))
+    t0 = time.perf_counter()
+    _ = np.asarray(triv(out[1][0]))
+    rtt = time.perf_counter() - t0
 
-    rounds = 10
+    rounds = 20
     t0 = time.perf_counter()
     for _ in range(rounds):
         out = step(ga, da, gb, db, keys)
-    jax.tree_util.tree_map(lambda x: x.block_until_ready(), out)
-    dt = time.perf_counter() - t0
+    _ = np.asarray(out[1][0])
+    dt = max(time.perf_counter() - t0 - rtt, 1e-9)
     fps = rounds * B / dt
 
     print(json.dumps({
