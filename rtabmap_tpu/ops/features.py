@@ -180,21 +180,25 @@ def refine_subpixel(score, kps: Keypoints):
     """Quadratic 3x3 subpixel refinement of keypoint locations on the score
     map (reference: Kp/SubPixWinSize cornerSubPix in Features2d.cpp).
     Removes the integer-pixel quantization that biases wide-baseline
-    registration. Offsets are clamped to ±0.6 px."""
+    registration. Offsets are clamped to ±0.6 px. The 3x3 neighborhood is
+    pulled with one-hot matmuls (f32, MXU) instead of 9 point gathers."""
     H, W = score.shape[-2:]
     u = kps.uv[:, 0].astype(jnp.int32)
     v = kps.uv[:, 1].astype(jnp.int32)
 
-    def tap(dv, du):
-        vv = jnp.clip(v + dv, 0, H - 1)
-        uu = jnp.clip(u + du, 0, W - 1)
-        return score.reshape(-1)[vv * W + uu]
+    rr = jnp.arange(-1, 2, dtype=jnp.int32)
+    rows = jnp.clip(v[:, None] + rr[None, :], 0, H - 1).reshape(-1)
+    Rh = (rows[:, None] == jnp.arange(H)[None, :]).astype(score.dtype)
+    band = (Rh @ score).reshape(-1, 3, W)
+    cols = jnp.clip(u[:, None] + rr[None, :], 0, W - 1)
+    Cw = (cols[:, :, None] == jnp.arange(W)[None, None, :]).astype(score.dtype)
+    nb = jnp.einsum("krw,kcw->krc", band, Cw)  # (K,3,3) indexed [dv+1,du+1]
 
-    c = tap(0, 0)
-    dx = 0.5 * (tap(0, 1) - tap(0, -1))
-    dy = 0.5 * (tap(1, 0) - tap(-1, 0))
-    dxx = tap(0, 1) + tap(0, -1) - 2 * c
-    dyy = tap(1, 0) + tap(-1, 0) - 2 * c
+    c = nb[:, 1, 1]
+    dx = 0.5 * (nb[:, 1, 2] - nb[:, 1, 0])
+    dy = 0.5 * (nb[:, 2, 1] - nb[:, 0, 1])
+    dxx = nb[:, 1, 2] + nb[:, 1, 0] - 2 * c
+    dyy = nb[:, 2, 1] + nb[:, 0, 1] - 2 * c
     off_u = jnp.where(jnp.abs(dxx) > 1e-12, -dx / dxx, 0.0)
     off_v = jnp.where(jnp.abs(dyy) > 1e-12, -dy / dyy, 0.0)
     off = jnp.stack([jnp.clip(off_u, -0.6, 0.6), jnp.clip(off_v, -0.6, 0.6)], axis=-1)
@@ -224,8 +228,8 @@ def compute_orientation(gray, kps: Keypoints, method: str = "gradient"):
     """
     if method == "gradient":
         gx, gy = im.sobel(im.gaussian_blur(gray, sigma=4.0, radius=6))
-        vx = im.bilinear_sample(gx, kps.uv)
-        vy = im.bilinear_sample(gy, kps.uv)
+        vx = im.bilinear_sample_mm(gx, kps.uv)
+        vy = im.bilinear_sample_mm(gy, kps.uv)
         angle = jnp.arctan2(vy, vx)
         return kps._replace(angle=jnp.where(kps.valid, angle, 0.0))
     ox = jnp.asarray(_OX)
@@ -284,18 +288,26 @@ _TEST_MATS = _binned_test_matrices()
 
 
 def extract_patches(img, uv, patch: int = _PATCH):
-    """(K,patch,patch) patches centered at round(uv) — one contiguous-block
-    dynamic-slice per keypoint (TPU-fast: ~500x cheaper than per-tap point
-    gathers through XLA's gather)."""
+    """(K,patch,patch) patches centered at round(uv), as two one-hot MATMULS:
+    band = R @ img selects each keypoint's `patch` rows ((K*patch,H)@(H,W) on
+    the MXU), then a batched (patch,W)@(W,patch) column mix. Per-keypoint
+    dynamic-slices serialize into ~2us-each small ops on TPU (24ms for
+    32x384 patches); this form is pure MXU + bandwidth (~1ms). Values pass
+    through bf16 — same precision the descriptor matmul already uses."""
     H, W = img.shape[-2:]
     c = patch // 2
     u0 = (jnp.round(uv[:, 0]).astype(jnp.int32) - c).clip(0, W - patch)
     v0 = (jnp.round(uv[:, 1]).astype(jnp.int32) - c).clip(0, H - patch)
-
-    def one(v, u):
-        return jax.lax.dynamic_slice(img, (v, u), (patch, patch))
-
-    return jax.vmap(one)(v0, u0)
+    K = uv.shape[0]
+    rr = jnp.arange(patch, dtype=jnp.int32)
+    rows = (v0[:, None] + rr[None, :]).reshape(-1)            # (K*patch,)
+    Rh = (rows[:, None] == jnp.arange(H)[None, :]).astype(jnp.bfloat16)
+    band = jnp.dot(Rh, img.astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32).reshape(K, patch, W)
+    cols = u0[:, None] + rr[None, :]                          # (K,patch)
+    Cw = (cols[:, :, None] == jnp.arange(W)[None, None, :]).astype(jnp.bfloat16)
+    return jnp.einsum("krw,kcw->krc", band.astype(jnp.bfloat16), Cw,
+                      preferred_element_type=jnp.float32)
 
 
 def describe(gray_blur, kps: Keypoints):
