@@ -113,6 +113,17 @@ def fast_response(gray, ring_r: int = 3):
 # ------------------------------------------------------------------- selection
 
 
+def _peaks_top_k(flat, k: int):
+    """Top-k over candidate peak scores. On TPU, exact ``lax.top_k`` is a
+    full sort (ms-scale for score maps); ``approx_max_k`` is the partitioned
+    hardware path (~10x faster). NMS already spaces the peaks, so per-bin
+    collisions are rare; on CPU the lowering is exact, keeping unit tests
+    deterministic."""
+    if jax.default_backend() == "tpu":
+        return jax.lax.approx_max_k(flat, k, recall_target=0.95)
+    return jax.lax.top_k(flat, k)
+
+
 def select_top_k(score, k: int, nms_size: int = 7, quality_level: float = 0.01,
                  border: int = PATCH_R + 1):
     """NMS + global top-k on a (H,W) score map -> Keypoints(k)."""
@@ -123,7 +134,7 @@ def select_top_k(score, k: int, nms_size: int = 7, quality_level: float = 0.01,
     vmask = jnp.zeros((H, W), dtype=bool).at[border:H - border, border:W - border].set(True)
     peak_score = jnp.where(is_peak & vmask, score, -jnp.inf)
     flat = peak_score.reshape((-1,))
-    vals, idx = jax.lax.top_k(flat, k)
+    vals, idx = _peaks_top_k(flat, k)
     vy = (idx // W).astype(jnp.float32)
     vx = (idx % W).astype(jnp.float32)
     max_v = jnp.maximum(jnp.max(vals), 1e-12)
@@ -151,7 +162,7 @@ def select_top_k_grid(score, k: int, grid: Tuple[int, int] = (4, 4),
     peak = jnp.where((score >= local_max) & (score > 0) & vmask, score, -jnp.inf)
     ch, cw = H // gr, W // gc
     cells = peak[: gr * ch, : gc * cw].reshape(gr, ch, gc, cw).transpose(0, 2, 1, 3).reshape(gr * gc, ch * cw)
-    vals, idx = jax.lax.top_k(cells, per_cell)  # (cells, per_cell)
+    vals, idx = _peaks_top_k(cells, per_cell)  # (cells, per_cell)
     cy = idx // cw
     cx = idx % cw
     cell_ids = jnp.arange(gr * gc)

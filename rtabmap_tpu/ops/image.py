@@ -24,29 +24,50 @@ def rgb_to_gray(img):
     ).astype(jnp.float32)
 
 
+_BAND_CACHE = {}
+
+
+def _band(k: np.ndarray, n: int) -> np.ndarray:
+    """(n,n) banded 'same'-zero-padding convolution matrix for 1-D kernel k:
+    out[i] = sum_j k[j] * x[i + j - r]."""
+    key = (k.tobytes(), n)
+    hit = _BAND_CACHE.get(key)
+    if hit is not None:
+        return hit
+    r = len(k) // 2
+    B = np.zeros((n, n), np.float32)
+    for j, kv in enumerate(k):
+        d = j - r
+        idx = np.arange(max(0, -d), min(n, n - d))
+        B[idx, idx + d] = kv
+    _BAND_CACHE[key] = B
+    return B
+
+
 def _sep_conv(img, kx, ky):
-    """Separable 2D convolution with 'same' zero padding on (...,H,W)."""
-    batch = img.shape[:-2]
+    """Separable 2D convolution with 'same' zero padding on (...,H,W).
+
+    TPU formulation: C=1 `conv_general_dilated` starves the MXU (~1ms per
+    pass at 32x240x320); a banded-matrix matmul per axis is exact, tiny
+    (H*W*(H+W) MACs), and rides the MXU. Kernels must be host constants."""
     H, W = img.shape[-2:]
-    x = img.reshape((-1, 1, H, W))
-    kx = jnp.asarray(kx, jnp.float32)[None, None, None, :]
-    ky = jnp.asarray(ky, jnp.float32)[None, None, :, None]
-    x = jax.lax.conv_general_dilated(x, kx, (1, 1), [(0, 0), (kx.shape[-1] // 2,) * 2])
-    x = jax.lax.conv_general_dilated(x, ky, (1, 1), [(ky.shape[-2] // 2,) * 2, (0, 0)])
-    return x.reshape((*batch, H, W))
+    Bx = _band(np.asarray(kx, np.float32), W)
+    By = _band(np.asarray(ky, np.float32), H)
+    x = jnp.matmul(img, Bx.T)
+    return jnp.swapaxes(jnp.matmul(jnp.swapaxes(x, -1, -2), By.T), -1, -2)
 
 
 def gaussian_blur(img, sigma: float = 1.0, radius: int = 2):
-    xs = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
-    k = jnp.exp(-0.5 * (xs / sigma) ** 2)
-    k = k / jnp.sum(k)
+    xs = np.arange(-radius, radius + 1, dtype=np.float32)
+    k = np.exp(-0.5 * (xs / sigma) ** 2)
+    k = k / np.sum(k)
     return _sep_conv(img, k, k)
 
 
 def sobel(img):
     """Returns (gx, gy) Scharr-free 3x3 Sobel gradients."""
-    gx = _sep_conv(img, jnp.array([-1.0, 0.0, 1.0]) * 0.5, jnp.array([0.25, 0.5, 0.25]))
-    gy = _sep_conv(img, jnp.array([0.25, 0.5, 0.25]), jnp.array([-1.0, 0.0, 1.0]) * 0.5)
+    gx = _sep_conv(img, np.array([-0.5, 0.0, 0.5]), np.array([0.25, 0.5, 0.25]))
+    gy = _sep_conv(img, np.array([0.25, 0.5, 0.25]), np.array([-0.5, 0.0, 0.5]))
     return gx, gy
 
 

@@ -16,6 +16,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from rtabmap_tpu.ops import image as im
 
@@ -83,7 +84,7 @@ def dense_bm_disparity(left, right, max_disparity: int = 64, block: int = 9,
     where invalid."""
     H, W = left.shape[-2:]
     r = block // 2
-    k = jnp.ones((block,), jnp.float32) / block
+    k = np.ones((block,), np.float32) / block  # host constant (see im._sep_conv)
 
     def sad_for(d):
         shifted = jnp.roll(right, d, axis=-1)
