@@ -79,9 +79,26 @@ def cross_check(m_ab: Matches, m_ba: Matches) -> jnp.ndarray:
     return m_ab.valid & m_ba.valid[m_ab.idx] & (back == ids)
 
 
+def match_nndr_bidir(desc_a, valid_a, desc_b, valid_b, nndr: float = 0.8):
+    """(m_ab, m_ba) from ONE Hamming matrix — halves the matmul + masking
+    work of calling ``match_nndr`` per direction."""
+    d = hamming_matrix(desc_a, desc_b)  # (Ka,Kb)
+    inf = jnp.float32(1e9)
+
+    def reduce(dm, valid_rows, valid_cols):
+        dm = jnp.where(valid_cols[None, :], dm, inf)
+        best = jnp.min(dm, axis=-1)
+        idx = jnp.argmin(dm, axis=-1).astype(jnp.int32)
+        cols = jax.lax.broadcasted_iota(jnp.int32, dm.shape, dm.ndim - 1)
+        second = jnp.min(jnp.where(cols == idx[:, None], inf, dm), axis=-1)
+        ok = valid_rows & (best < inf * 0.5) & (best <= nndr * second)
+        return Matches(idx=idx, dist=best, second=second, valid=ok)
+
+    return reduce(d, valid_a, valid_b), reduce(d.T, valid_b, valid_a)
+
+
 def match_mutual_nndr(desc_a, valid_a, desc_b, valid_b, nndr: float = 0.8) -> Matches:
-    m_ab = match_nndr(desc_a, valid_a, desc_b, valid_b, nndr)
-    m_ba = match_nndr(desc_b, valid_b, desc_a, valid_a, nndr)
+    m_ab, m_ba = match_nndr_bidir(desc_a, valid_a, desc_b, valid_b, nndr)
     return m_ab._replace(valid=cross_check(m_ab, m_ba))
 
 

@@ -258,8 +258,8 @@ def sharded_vo_step(mesh: Mesh, grays_a, depths_a, grays_b, depths_b, keys,
     def one(gray_a, depth_a, gray_b, depth_b, key):
         a = extract_features(gray_a, depth_a, cam, max_kp)
         b = extract_features(gray_b, depth_b, cam, max_kp)
-        m_ba = M.match_nndr(b.desc, b.valid, a.desc, a.valid & a.valid3d)
-        m_ab = M.match_nndr(a.desc, a.valid & a.valid3d, b.desc, b.valid)
+        m_ba, m_ab = M.match_nndr_bidir(b.desc, b.valid, a.desc,
+                                        a.valid & a.valid3d)
         mutual = M.cross_check(m_ba, m_ab)
         res = R.ransac_pnp(a.pts3d[m_ba.idx], b.uv, mutual, cam, key,
                            iters=192, reproj_px=3.0,
