@@ -46,6 +46,25 @@ class SensorData(NamedTuple):
     id: int = 0
 
 
+class EnvSensor(NamedTuple):
+    """Environmental sensor reading attached to a node (reference:
+    ``EnvSensor`` on SensorData — corelib/include/rtabmap/core/EnvSensor.h,
+    persisted per node and exported by the WifiMapping example)."""
+
+    type: int      # one of ENV_SENSOR_* below
+    value: float
+    stamp: float = 0.0
+
+
+ENV_SENSOR_UNDEFINED = 0
+ENV_SENSOR_WIFI_SIGNAL_STRENGTH = 1    # dBm
+ENV_SENSOR_AMBIENT_TEMPERATURE = 2     # celsius
+ENV_SENSOR_AMBIENT_AIR_PRESSURE = 3    # hPa
+ENV_SENSOR_AMBIENT_LIGHT = 4           # lx
+ENV_SENSOR_AMBIENT_RELATIVE_HUMIDITY = 5  # %
+ENV_SENSOR_CUSTOM1 = 6
+
+
 def extract_features(gray, depth, cam: C.CameraModel, max_kp: int = 512,
                      min_depth: float = 0.1, max_depth: float = 20.0,
                      use_grid: bool = True) -> FrameFeatures:

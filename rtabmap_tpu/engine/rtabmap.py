@@ -172,7 +172,8 @@ class Rtabmap:
     # ---------------------------------------------------------------- process
     def process(self, frame: FrameFeatures, odom_pose, covariance=None,
                 stamp: float = 0.0, scan=None,
-                user_data: Optional[bytes] = None, grid=None) -> Statistics:
+                user_data: Optional[bytes] = None, grid=None,
+                env_sensors=None, global_desc=None) -> Statistics:
         st = Statistics()
         timer = Timer()
         odom_pose = np.asarray(odom_pose, np.float32)
@@ -206,6 +207,10 @@ class Rtabmap:
             sig.scan = scan
             sig.user_data = user_data
             sig.grid = grid
+            if env_sensors:
+                sig.env_sensors = list(env_sensors)
+            if global_desc is not None:
+                sig.global_desc = np.asarray(global_desc)
             neighbor_link = None
             if prev_id is not None:
                 prev = self.memory.get(prev_id)
@@ -1201,9 +1206,11 @@ class Rtabmap:
                            + [st.get(k, 0.0) for k in keys])
         return path
 
-    def close(self):
+    def close(self, map2d=None, opt_cloud=None, opt_mesh=None):
         """Persist the full map state (the database IS the checkpoint —
-        reference: Memory::close + saveOptimizedPoses, Memory.cpp:2486)."""
+        reference: Memory::close + saveOptimizedPoses/save2DMap/
+        saveOptimizedMesh, Memory.cpp:2486-2559). Derived products (2D
+        occupancy map, assembled cloud, mesh) are checkpointed when given."""
         if self.memory.db is not None:
             for i in list(self.memory.wm) + list(self.memory.stm):
                 self.memory.db.save_signature(self.memory.get(i))
@@ -1211,5 +1218,6 @@ class Rtabmap:
                 params=self.params.overrides(),
                 optimized_poses=self.optimized_poses,
                 vocab=self.memory.vocab,
+                map2d=map2d, opt_cloud=opt_cloud, opt_mesh=opt_mesh,
             )
             self.memory.db.flush()

@@ -45,7 +45,9 @@ CREATE TABLE IF NOT EXISTS Data (
     scan BLOB,
     user_data BLOB,
     calibration BLOB,
-    grid BLOB
+    grid BLOB,
+    env_sensors BLOB,
+    global_desc BLOB
 );
 CREATE TABLE IF NOT EXISTS Link (
     from_id INTEGER NOT NULL,
@@ -79,9 +81,36 @@ CREATE TABLE IF NOT EXISTS Admin (
     opt_ids BLOB,
     vocab_slab BLOB,
     vocab_meta TEXT,
+    map2d BLOB,
+    opt_cloud BLOB,
+    opt_mesh BLOB,
     time_enter DATE
 );
 """
+
+# Columns added after a schema version shipped: applied with ALTER TABLE on
+# open, the equivalent of the reference's backward_compatibility migrations
+# (corelib/src/resources/backward_compatibility/).
+_MIGRATIONS = [
+    ("Data", "env_sensors BLOB"),
+    ("Data", "global_desc BLOB"),
+    ("Admin", "map2d BLOB"),
+    ("Admin", "opt_cloud BLOB"),
+    ("Admin", "opt_mesh BLOB"),
+]
+
+
+def _pack_npz(**arrays) -> bytes:
+    buf = io.BytesIO()
+    np.savez(buf, **{k: np.asarray(v) for k, v in arrays.items() if v is not None})
+    return zlib.compress(buf.getvalue(), 1)
+
+
+def _unpack_npz(blob):
+    if blob is None:
+        return None
+    with np.load(io.BytesIO(zlib.decompress(blob)), allow_pickle=False) as z:
+        return {k: z[k] for k in z.files}
 
 
 def _pack(arr: Optional[np.ndarray]) -> Optional[bytes]:
@@ -175,6 +204,10 @@ class Database:
         for col in ("scan", "user_data", "calibration", "grid"):
             if col not in cols:
                 self._conn.execute(f"ALTER TABLE Data ADD COLUMN {col} BLOB")
+        for table, coldef in _MIGRATIONS:
+            have = {r[1] for r in self._conn.execute(f"PRAGMA table_info({table})")}
+            if coldef.split()[0] not in have:
+                self._conn.execute(f"ALTER TABLE {table} ADD COLUMN {coldef}")
         self._conn.commit()
         self._lock = threading.Lock()
         self._q: "queue.Queue" = queue.Queue()
@@ -240,6 +273,11 @@ class Database:
             "user_data": getattr(sig, "user_data", None),
             "scan": _pack_scan(getattr(sig, "scan", None)),
             "grid": _pack_grid(getattr(sig, "grid", None)),
+            "env_sensors": (
+                _pack(np.asarray([(e.type, e.value, e.stamp)
+                                  for e in sig.env_sensors], np.float64))
+                if getattr(sig, "env_sensors", None) else None),
+            "global_desc": _pack(getattr(sig, "global_desc", None)),
         }
 
     def _save_signature_now(self, row):
@@ -252,11 +290,13 @@ class Database:
             )
             self._conn.execute(
                 "INSERT OR REPLACE INTO Data"
-                " (id,word_ids,descriptors,keypoints,points3d,valid3d,user_data,scan,grid)"
-                " VALUES (?,?,?,?,?,?,?,?,?)",
+                " (id,word_ids,descriptors,keypoints,points3d,valid3d,user_data,"
+                "scan,grid,env_sensors,global_desc)"
+                " VALUES (?,?,?,?,?,?,?,?,?,?,?)",
                 (row["id"], row["word_ids"], row["descriptors"],
                  row["keypoints"], row["points3d"], row["valid3d"],
-                 row["user_data"], row["scan"], row["grid"]),
+                 row["user_data"], row["scan"], row["grid"],
+                 row["env_sensors"], row["global_desc"]),
             )
             for f, t, ty, tr, inf in row["links"]:
                 self._conn.execute(
@@ -275,7 +315,8 @@ class Database:
             if node is None:
                 return None
             data = self._conn.execute(
-                "SELECT word_ids,descriptors,keypoints,points3d,valid3d,user_data,scan,grid"
+                "SELECT word_ids,descriptors,keypoints,points3d,valid3d,user_data,"
+                "scan,grid,env_sensors,global_desc"
                 " FROM Data WHERE id=?", (sid,)
             ).fetchone()
             links = self._conn.execute(
@@ -295,6 +336,12 @@ class Database:
             sig.user_data = data[5]
             sig.scan = _unpack_scan(data[6])
             sig.grid = _unpack_grid(data[7])
+            if data[8] is not None:
+                from rtabmap_tpu.core.frame import EnvSensor
+
+                sig.env_sensors = [EnvSensor(int(t), float(v), float(s))
+                                   for t, v, s in _unpack(data[8])]
+            sig.global_desc = _unpack(data[9])
         for f, t, ty, tr, inf in links:
             sig.links[t] = Link(f, t, ty, _unpack(tr), _unpack(inf))
         sig.in_ltm = True
@@ -373,8 +420,30 @@ class Database:
     # ------------------------------------------------------------------ admin
     def save_admin(self, params: Optional[Dict] = None,
                    optimized_poses: Optional[Dict[int, np.ndarray]] = None,
-                   vocab=None):
+                   vocab=None, map2d=None, opt_cloud=None, opt_mesh=None):
+        """Checkpoint the map's derived products alongside poses/vocabulary.
+
+        map2d: (grid (H,W) int8, origin_xy (2,), cell_size) — the saved 2D
+        occupancy map (reference: Memory::save2DMap, Memory.cpp:2486-2559).
+        opt_cloud: (points (N,3)[, colors (N,3) uint8]) assembled cloud.
+        opt_mesh: (vertices (V,3), faces (F,3) int32[, colors (V,3) uint8])
+        (reference: Memory::saveOptimizedMesh; Admin table
+        DatabaseSchema.sql.in:119-130).
+        """
         self.flush()
+        map2d_b = cloud_b = mesh_b = None
+        if map2d is not None:
+            grid2, origin, cell = map2d
+            map2d_b = _pack_npz(grid=grid2, origin=origin,
+                                cell=np.float32(cell))
+        if opt_cloud is not None:
+            pts = opt_cloud[0]
+            colors = opt_cloud[1] if len(opt_cloud) > 1 else None
+            cloud_b = _pack_npz(points=pts, colors=colors)
+        if opt_mesh is not None:
+            verts, faces = opt_mesh[0], opt_mesh[1]
+            colors = opt_mesh[2] if len(opt_mesh) > 2 else None
+            mesh_b = _pack_npz(vertices=verts, faces=faces, colors=colors)
         opt_ids = opt_poses = None
         if optimized_poses:
             ids = sorted(optimized_poses)
@@ -390,11 +459,19 @@ class Database:
                 "capacity": st["slab"].shape[0],
             })
         with self._lock:
+            prev = self._conn.execute(
+                "SELECT map2d,opt_cloud,opt_mesh FROM Admin").fetchone()
+            if prev is not None:  # keep products not being overwritten
+                map2d_b = map2d_b or prev[0]
+                cloud_b = cloud_b or prev[1]
+                mesh_b = mesh_b or prev[2]
             self._conn.execute("DELETE FROM Admin")
             self._conn.execute(
-                "INSERT INTO Admin (version,opt_poses,opt_ids,vocab_slab,vocab_meta,time_enter)"
-                " VALUES (?,?,?,?,?,datetime('now'))",
-                (self.VERSION, opt_poses, opt_ids, vocab_slab, vocab_meta),
+                "INSERT INTO Admin (version,opt_poses,opt_ids,vocab_slab,vocab_meta,"
+                "map2d,opt_cloud,opt_mesh,time_enter)"
+                " VALUES (?,?,?,?,?,?,?,?,datetime('now'))",
+                (self.VERSION, opt_poses, opt_ids, vocab_slab, vocab_meta,
+                 map2d_b, cloud_b, mesh_b),
             )
             if params is not None:
                 self._conn.execute("DELETE FROM Info")
@@ -407,10 +484,13 @@ class Database:
     def load_admin(self):
         with self._lock:
             row = self._conn.execute(
-                "SELECT version,opt_poses,opt_ids,vocab_slab,vocab_meta FROM Admin"
+                "SELECT version,opt_poses,opt_ids,vocab_slab,vocab_meta,"
+                "map2d,opt_cloud,opt_mesh FROM Admin"
             ).fetchone()
             info = self._conn.execute("SELECT parameters FROM Info").fetchone()
-        out = {"version": None, "optimized_poses": {}, "vocab": None, "parameters": {}}
+        out = {"version": None, "optimized_poses": {}, "vocab": None,
+               "parameters": {}, "map2d": None, "opt_cloud": None,
+               "opt_mesh": None}
         if row is not None:
             out["version"] = row[0]
             if row[1] is not None and row[2] is not None:
@@ -421,6 +501,9 @@ class Database:
                 meta = json.loads(row[4])
                 slab = _unpack(row[3])
                 out["vocab"] = {"slab": slab, **meta}
+            out["map2d"] = _unpack_npz(row[5])
+            out["opt_cloud"] = _unpack_npz(row[6])
+            out["opt_mesh"] = _unpack_npz(row[7])
         if info is not None and info[0]:
             out["parameters"] = json.loads(info[0])
         return out

@@ -83,6 +83,12 @@ class Signature:
                                             # WifiMapping example's channel)
     grid: Optional[object] = None           # LocalGrid occupancy cells
                                             # (reference: Data table grids)
+    env_sensors: list = field(default_factory=list)  # [EnvSensor] readings
+                                            # (reference: EnvSensor.h,
+                                            # SensorData::envSensors)
+    global_desc: Optional[np.ndarray] = None  # global descriptor vector
+                                            # (reference: GlobalDescriptor
+                                            # table, e.g. NetVLAD)
 
 
 from functools import partial

@@ -108,3 +108,62 @@ def test_user_data_roundtrip(tmp_path):
     got = db2.load_signature(1)
     assert got.user_data == b"wifi:-67dBm@00:11:22"
     db2.close()
+
+
+def test_env_sensors_and_global_desc_roundtrip(tmp_path):
+    from rtabmap_tpu.core.frame import (ENV_SENSOR_AMBIENT_TEMPERATURE,
+                                        ENV_SENSOR_WIFI_SIGNAL_STRENGTH,
+                                        EnvSensor)
+    from rtabmap_tpu.memory.memory import Signature
+
+    path = str(tmp_path / "env.db")
+    db = Database(path, async_writes=False)
+    sig = Signature(id=2, map_id=0, stamp=1.0,
+                    pose=np.eye(3, 4, dtype=np.float32))
+    sig.env_sensors = [
+        EnvSensor(ENV_SENSOR_WIFI_SIGNAL_STRENGTH, -61.0, 1.0),
+        EnvSensor(ENV_SENSOR_AMBIENT_TEMPERATURE, 22.5, 1.0),
+    ]
+    sig.global_desc = np.arange(128, dtype=np.float32)
+    db.save_signature(sig)
+    db.flush()
+    db.close()
+    db2 = Database(path, async_writes=False)
+    got = db2.load_signature(2)
+    assert len(got.env_sensors) == 2
+    assert got.env_sensors[0].type == ENV_SENSOR_WIFI_SIGNAL_STRENGTH
+    assert got.env_sensors[0].value == -61.0
+    assert got.env_sensors[1].value == 22.5
+    np.testing.assert_array_equal(got.global_desc, sig.global_desc)
+    db2.close()
+
+
+def test_admin_map_products_roundtrip(tmp_path):
+    path = str(tmp_path / "prod.db")
+    db = Database(path, async_writes=False)
+    grid = np.random.RandomState(0).randint(-1, 101, (40, 50)).astype(np.int8)
+    pts = np.random.RandomState(1).rand(100, 3).astype(np.float32)
+    colors = (np.random.RandomState(2).rand(100, 3) * 255).astype(np.uint8)
+    verts = pts[:30]
+    faces = np.arange(30, dtype=np.int32).reshape(10, 3)
+    db.save_admin(
+        params={"Grid/CellSize": "0.05"},
+        map2d=(grid, np.array([-1.0, -2.0], np.float32), 0.05),
+        opt_cloud=(pts, colors),
+        opt_mesh=(verts, faces),
+    )
+    db.close()
+    db2 = Database(path, async_writes=False)
+    adm = db2.load_admin()
+    np.testing.assert_array_equal(adm["map2d"]["grid"], grid)
+    np.testing.assert_allclose(adm["map2d"]["origin"], [-1.0, -2.0])
+    assert float(adm["map2d"]["cell"]) == pytest.approx(0.05)
+    np.testing.assert_array_equal(adm["opt_cloud"]["points"], pts)
+    np.testing.assert_array_equal(adm["opt_cloud"]["colors"], colors)
+    np.testing.assert_array_equal(adm["opt_mesh"]["faces"], faces)
+    # partial re-save keeps prior products
+    db2.save_admin(opt_cloud=(pts[:10],))
+    adm2 = db2.load_admin()
+    np.testing.assert_array_equal(adm2["map2d"]["grid"], grid)
+    assert adm2["opt_cloud"]["points"].shape == (10, 3)
+    db2.close()
