@@ -173,7 +173,8 @@ class Rtabmap:
     def process(self, frame: FrameFeatures, odom_pose, covariance=None,
                 stamp: float = 0.0, scan=None,
                 user_data: Optional[bytes] = None, grid=None,
-                env_sensors=None, global_desc=None) -> Statistics:
+                env_sensors=None, global_desc=None, gt_pose=None,
+                velocity=None, gps=None) -> Statistics:
         st = Statistics()
         timer = Timer()
         odom_pose = np.asarray(odom_pose, np.float32)
@@ -211,6 +212,12 @@ class Rtabmap:
                 sig.env_sensors = list(env_sensors)
             if global_desc is not None:
                 sig.global_desc = np.asarray(global_desc)
+            if gt_pose is not None:
+                sig.gt_pose = np.asarray(gt_pose, np.float32)
+            if velocity is not None:
+                sig.velocity = np.asarray(velocity, np.float32)
+            if gps is not None:
+                sig.gps = np.asarray(gps, np.float32)
             neighbor_link = None
             if prev_id is not None:
                 prev = self.memory.get(prev_id)

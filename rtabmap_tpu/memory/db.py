@@ -31,7 +31,10 @@ CREATE TABLE IF NOT EXISTS Node (
     weight INTEGER DEFAULT 0,
     stamp FLOAT DEFAULT 0,
     pose BLOB,
-    label TEXT
+    label TEXT,
+    ground_truth BLOB,
+    velocity BLOB,
+    gps BLOB
 );
 CREATE TABLE IF NOT EXISTS Data (
     id INTEGER PRIMARY KEY,
@@ -97,6 +100,9 @@ _MIGRATIONS = [
     ("Admin", "map2d BLOB"),
     ("Admin", "opt_cloud BLOB"),
     ("Admin", "opt_mesh BLOB"),
+    ("Node", "ground_truth BLOB"),
+    ("Node", "velocity BLOB"),
+    ("Node", "gps BLOB"),
 ]
 
 
@@ -267,6 +273,9 @@ class Database:
         return {
             "id": sig.id, "map_id": sig.map_id, "weight": sig.weight,
             "stamp": sig.stamp, "pose": _pack(sig.pose), "label": sig.label,
+            "ground_truth": _pack(getattr(sig, "gt_pose", None)),
+            "velocity": _pack(getattr(sig, "velocity", None)),
+            "gps": _pack(getattr(sig, "gps", None)),
             "word_ids": _pack(sig.word_ids), "descriptors": _pack(sig.desc),
             "keypoints": _pack(sig.uv), "points3d": _pack(sig.pts3d),
             "valid3d": _pack(sig.valid3d), "links": links,
@@ -283,10 +292,12 @@ class Database:
     def _save_signature_now(self, row):
         with self._lock:
             self._conn.execute(
-                "INSERT OR REPLACE INTO Node (id,map_id,weight,stamp,pose,label)"
-                " VALUES (?,?,?,?,?,?)",
+                "INSERT OR REPLACE INTO Node"
+                " (id,map_id,weight,stamp,pose,label,ground_truth,velocity,gps)"
+                " VALUES (?,?,?,?,?,?,?,?,?)",
                 (row["id"], row["map_id"], row["weight"], row["stamp"],
-                 row["pose"], row["label"]),
+                 row["pose"], row["label"], row["ground_truth"],
+                 row["velocity"], row["gps"]),
             )
             self._conn.execute(
                 "INSERT OR REPLACE INTO Data"
@@ -310,7 +321,8 @@ class Database:
 
         with self._lock:
             node = self._conn.execute(
-                "SELECT id,map_id,weight,stamp,pose,label FROM Node WHERE id=?", (sid,)
+                "SELECT id,map_id,weight,stamp,pose,label,ground_truth,velocity,gps"
+                " FROM Node WHERE id=?", (sid,)
             ).fetchone()
             if node is None:
                 return None
@@ -327,6 +339,9 @@ class Database:
             id=node[0], map_id=node[1], weight=node[2], stamp=node[3],
             pose=_unpack(node[4]), label=node[5] or "",
         )
+        sig.gt_pose = _unpack(node[6])
+        sig.velocity = _unpack(node[7])
+        sig.gps = _unpack(node[8])
         if data is not None:
             sig.word_ids = _unpack(data[0])
             sig.desc = _unpack(data[1])

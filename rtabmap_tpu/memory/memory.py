@@ -89,6 +89,14 @@ class Signature:
     global_desc: Optional[np.ndarray] = None  # global descriptor vector
                                             # (reference: GlobalDescriptor
                                             # table, e.g. NetVLAD)
+    gt_pose: Optional[np.ndarray] = None    # (3,4) ground-truth pose
+                                            # (reference: Node.ground_truth_pose,
+                                            # consumed by Reprocess/Report)
+    velocity: Optional[np.ndarray] = None   # (6,) twist at this node
+                                            # (reference: Node.velocity)
+    gps: Optional[np.ndarray] = None        # (6,) stamp,long,lat,alt,error,
+                                            # bearing (reference: Node.gps,
+                                            # GPS.h)
 
 
 from functools import partial

@@ -167,3 +167,26 @@ def test_admin_map_products_roundtrip(tmp_path):
     np.testing.assert_array_equal(adm2["map2d"]["grid"], grid)
     assert adm2["opt_cloud"]["points"].shape == (10, 3)
     db2.close()
+
+
+def test_node_gt_velocity_gps_roundtrip(tmp_path):
+    from rtabmap_tpu.memory.memory import Signature
+
+    path = str(tmp_path / "gt.db")
+    db = Database(path, async_writes=False)
+    sig = Signature(id=5, map_id=0, stamp=3.0,
+                    pose=np.eye(3, 4, dtype=np.float32))
+    gt = np.eye(3, 4, dtype=np.float32)
+    gt[0, 3] = 1.25
+    sig.gt_pose = gt
+    sig.velocity = np.array([0.1, 0, 0, 0, 0, 0.02], np.float32)
+    sig.gps = np.array([3.0, -71.1, 42.3, 12.0, 2.0, 0.0], np.float32)
+    db.save_signature(sig)
+    db.flush()
+    db.close()
+    db2 = Database(path, async_writes=False)
+    got = db2.load_signature(5)
+    np.testing.assert_allclose(got.gt_pose, gt)
+    np.testing.assert_allclose(got.velocity, sig.velocity)
+    np.testing.assert_allclose(got.gps, sig.gps)
+    db2.close()
