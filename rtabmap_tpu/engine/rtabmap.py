@@ -31,8 +31,8 @@ from rtabmap_tpu.geometry import camera as C
 from rtabmap_tpu.geometry import transform as T
 from rtabmap_tpu.memory.memory import (
     LINK_GLOBAL_CLOSURE, LINK_LOCAL_SPACE_CLOSURE, LINK_LOCAL_TIME_CLOSURE,
-    LINK_NEIGHBOR, LINK_USER_CLOSURE, LINK_VIRTUAL_CLOSURE, Link, Memory,
-    Signature,
+    LINK_NEIGHBOR, LINK_POSE_PRIOR, LINK_USER_CLOSURE, LINK_VIRTUAL_CLOSURE,
+    Link, Memory, Signature,
 )
 from rtabmap_tpu.optim import pose_graph as PG
 from rtabmap_tpu.utils.logging import Statistics, Timer, get_logger
@@ -217,7 +217,9 @@ class Rtabmap:
             if velocity is not None:
                 sig.velocity = np.asarray(velocity, np.float32)
             if gps is not None:
-                sig.gps = np.asarray(gps, np.float32)
+                # float64: geodetic degrees at f32 resolution quantize to
+                # ~0.4 m at mid latitudes — never store fixes in f32
+                sig.gps = np.asarray(gps, np.float64)
             neighbor_link = None
             if prev_id is not None:
                 prev = self.memory.get(prev_id)
@@ -675,17 +677,52 @@ class Rtabmap:
         closure_types = {LINK_GLOBAL_CLOSURE, LINK_LOCAL_SPACE_CLOSURE,
                          LINK_LOCAL_TIME_CLOSURE, LINK_USER_CLOSURE}
         ef, et, meas, info, switch = [], [], [], [], []
+        pr_idx, pr_meas, pr_info = [], [], []
         for lk in links:
+            if lk.type == LINK_POSE_PRIOR:
+                # unary absolute-pose prior (reference: kPosePrior links,
+                # OptimizerG2O.cpp:634-685 prior edges)
+                if lk.from_id in id_to_idx:
+                    pr_idx.append(id_to_idx[lk.from_id])
+                    pr_meas.append(lk.transform)
+                    pr_info.append(lk.information)
+                continue
             if lk.from_id in id_to_idx and lk.to_id in id_to_idx:
                 ef.append(id_to_idx[lk.from_id])
                 et.append(id_to_idx[lk.to_id])
                 meas.append(lk.transform)
                 info.append(lk.information)
                 switch.append(lk.type in closure_types)
+        if not self.params.get("Optimizer/PriorsIgnored"):
+            # GPS fixes -> ENU xyz priors anchored at the first fix
+            # (reference: OptimizerG2O GPS prior path)
+            from rtabmap_tpu.utils import gps as GPSU
+
+            fixes = [(i, self.memory.get(i).gps) for i in ids
+                     if getattr(self.memory.get(i), "gps", None) is not None]
+            if fixes:
+                origin = fixes[0][1]
+                for nid, fix in fixes:
+                    enu = GPSU.ecef_to_enu(
+                        GPSU.geodetic_to_ecef(fix[2], fix[1], fix[3]),
+                        origin[2], origin[1], origin[3])
+                    m = np.eye(3, 4, dtype=np.float32)
+                    m[:, 3] = enu
+                    var = max(float(fix[4]) ** 2, 1e-4)
+                    inf6 = np.zeros((6, 6), np.float32)
+                    inf6[:3, :3] = np.eye(3) / var
+                    pr_idx.append(id_to_idx[nid])
+                    pr_meas.append(m)
+                    pr_info.append(inf6)
+        priors = (
+            np.array(pr_idx, np.int32),
+            (np.stack(pr_meas) if pr_meas else np.zeros((0, 3, 4), np.float32)),
+            (np.stack(pr_info) if pr_info else np.zeros((0, 6, 6), np.float32)),
+        )
         return ids, pose_arr, np.array(ef, np.int32), np.array(et, np.int32), \
             (np.stack(meas) if meas else np.zeros((0, 3, 4), np.float32)), \
             (np.stack(info) if info else np.zeros((0, 6, 6), np.float32)), \
-            np.array(switch, bool)
+            np.array(switch, bool), priors
 
     def _optimize(self, st: Statistics, new_links: List[Link]):
         # Without new constraints the graph optimum is unchanged — just
@@ -698,7 +735,7 @@ class Rtabmap:
                         T.compose(jnp.asarray(self.map_correction),
                                   jnp.asarray(self.memory.get(i).pose)))
             return
-        ids, poses, ef, et, meas, info, switch = self._build_graph()
+        ids, poses, ef, et, meas, info, switch, priors = self._build_graph()
         if len(ids) < 2 or len(ef) < 1:
             for i in ids:
                 self.optimized_poses[i] = np.asarray(
@@ -718,11 +755,27 @@ class Rtabmap:
         meas_p = np.concatenate([meas, np.tile(np.eye(3, 4, dtype=np.float32), (Ep - E, 1, 1))])
         info_p = np.concatenate([info, np.tile(np.eye(6, dtype=np.float32)[None], (Ep - E, 1, 1))])
         edge_valid = np.arange(Ep) < E
+        pr_idx, pr_meas, pr_info = priors
+        P = len(pr_idx)
+        if P:  # pad priors to a pow2 bucket as well
+            Pp = 1 << max(P - 1, 1).bit_length()
+            pr_idx = np.concatenate([pr_idx, np.zeros(Pp - P, np.int32)])
+            pr_meas = np.concatenate(
+                [pr_meas, np.tile(np.eye(3, 4, dtype=np.float32), (Pp - P, 1, 1))])
+            pr_info = np.concatenate(
+                [pr_info, np.zeros((Pp - P, 6, 6), np.float32)])
+            prior_valid = np.arange(Pp) < P
+        else:
+            prior_valid = np.zeros((0,), bool)
         g = PG.make_graph(jnp.asarray(poses_p), jnp.asarray(ef_p), jnp.asarray(et_p),
                           jnp.asarray(meas_p), jnp.asarray(info_p),
                           node_valid=jnp.asarray(node_valid),
                           edge_valid=jnp.asarray(edge_valid),
-                          root=N - 1)
+                          root=N - 1,
+                          priors_idx=jnp.asarray(pr_idx, jnp.int32),
+                          priors_meas=jnp.asarray(pr_meas, jnp.float32),
+                          priors_info=jnp.asarray(pr_info, jnp.float32),
+                          prior_valid=jnp.asarray(prior_valid, bool))
         if self.optimizer_robust:
             # Vertigo-equivalent robust mode (Optimizer/Robust): closure
             # edges become switchable via dynamic covariance scaling
@@ -889,7 +942,7 @@ class Rtabmap:
                          LINK_LOCAL_TIME_CLOSURE, LINK_USER_CLOSURE)
         removed = 0
         for _ in range(max_removals):
-            ids, poses, ef, et, meas, info, switch = self._build_graph()
+            ids, poses, ef, et, meas, info, switch, _priors = self._build_graph()
             if len(ids) < 2 or len(ef) < 1:
                 break
             g = PG.make_graph(jnp.asarray(np.asarray(poses)),

@@ -28,7 +28,13 @@ from rtabmap_tpu.geometry import transform as T
 
 
 class PoseGraph(NamedTuple):
-    """Fixed-capacity pose graph slab."""
+    """Fixed-capacity pose graph slab.
+
+    Unary prior factors (P entries, may be 0-length) cover the reference's
+    absolute-pose constraints: GPS position priors (information only in the
+    xyz block — OptimizerG2O.cpp:634-685 XYZ prior edges) and gravity /
+    IMU-orientation priors (information in the rotation block —
+    g2o/edge_se3_gravity.h). Residual: log(meas^-1 * T_i)."""
 
     poses: jnp.ndarray       # (N,3,4)
     node_valid: jnp.ndarray  # (N,)
@@ -38,10 +44,16 @@ class PoseGraph(NamedTuple):
     edges_info: jnp.ndarray  # (E,6,6) information matrices
     edge_valid: jnp.ndarray  # (E,)
     root: jnp.ndarray        # () int32 gauge-fixed node
+    priors_idx: jnp.ndarray = jnp.zeros((0,), jnp.int32)   # (P,) node ids
+    priors_meas: jnp.ndarray = jnp.zeros((0, 3, 4), jnp.float32)  # (P,3,4)
+    priors_info: jnp.ndarray = jnp.zeros((0, 6, 6), jnp.float32)  # (P,6,6)
+    prior_valid: jnp.ndarray = jnp.zeros((0,), bool)        # (P,)
 
 
 def make_graph(poses, edges_from, edges_to, edges_meas, edges_info=None,
-               node_valid=None, edge_valid=None, root=0) -> PoseGraph:
+               node_valid=None, edge_valid=None, root=0,
+               priors_idx=None, priors_meas=None, priors_info=None,
+               prior_valid=None) -> PoseGraph:
     E = edges_from.shape[0]
     N = poses.shape[0]
     if edges_info is None:
@@ -50,6 +62,13 @@ def make_graph(poses, edges_from, edges_to, edges_meas, edges_info=None,
         node_valid = jnp.ones((N,), bool)
     if edge_valid is None:
         edge_valid = jnp.ones((E,), bool)
+    P = 0 if priors_idx is None else len(priors_idx)
+    if priors_idx is None:
+        priors_idx = jnp.zeros((0,), jnp.int32)
+        priors_meas = jnp.zeros((0, 3, 4), jnp.float32)
+        priors_info = jnp.zeros((0, 6, 6), jnp.float32)
+    if prior_valid is None:
+        prior_valid = jnp.ones((P,), bool)
     return PoseGraph(
         poses=jnp.asarray(poses, jnp.float32),
         node_valid=node_valid,
@@ -59,6 +78,10 @@ def make_graph(poses, edges_from, edges_to, edges_meas, edges_info=None,
         edges_info=jnp.asarray(edges_info, jnp.float32),
         edge_valid=edge_valid,
         root=jnp.asarray(root, jnp.int32),
+        priors_idx=jnp.asarray(priors_idx, jnp.int32),
+        priors_meas=jnp.asarray(priors_meas, jnp.float32),
+        priors_info=jnp.asarray(priors_info, jnp.float32),
+        prior_valid=jnp.asarray(prior_valid, bool),
     )
 
 
@@ -83,6 +106,26 @@ def _edge_residual_jac(pose_i, pose_j, meas):
     return r, Ji, Jj
 
 
+def _prior_residual_jac(pose, meas):
+    """Unary absolute-pose residual log(meas^-1 * T) + exact Jacobian wrt a
+    right-perturbation of T (GPS / gravity / pose-prior factors)."""
+
+    def f(xi):
+        p = T.retract(pose, xi)
+        return T.se3_log(T.compose(T.inverse(meas), p))
+
+    z = jnp.zeros((6,))
+    return f(z), jax.jacfwd(f)(z)
+
+
+def _prior_blocks(g: PoseGraph, poses):
+    """(P,6) residuals, (P,6,6) H blocks, (P,6) b contributions."""
+    rp, Jp = jax.vmap(_prior_residual_jac)(poses[g.priors_idx], g.priors_meas)
+    info = g.priors_info * g.prior_valid[:, None, None]
+    JtI = jnp.einsum("pki,pkl->pil", Jp, info)
+    return rp, jnp.einsum("pil,plj->pij", JtI, Jp), jnp.einsum("pil,pl->pi", JtI, rp)
+
+
 def graph_residuals(g: PoseGraph):
     """(E,6) residuals (invalid edges zeroed)."""
     r = jax.vmap(_edge_residual)(g.poses[g.edges_from], g.poses[g.edges_to], g.edges_meas)
@@ -91,7 +134,12 @@ def graph_residuals(g: PoseGraph):
 
 def graph_chi2(g: PoseGraph):
     r = graph_residuals(g)
-    return jnp.sum(jnp.einsum("ei,eij,ej->e", r, g.edges_info, r))
+    chi2 = jnp.sum(jnp.einsum("ei,eij,ej->e", r, g.edges_info, r))
+    if g.priors_idx.shape[0] > 0:
+        rp, _ = jax.vmap(_prior_residual_jac)(g.poses[g.priors_idx], g.priors_meas)
+        info = g.priors_info * g.prior_valid[:, None, None]
+        chi2 = chi2 + jnp.sum(jnp.einsum("pi,pij,pj->p", rp, info, rp))
+    return chi2
 
 
 def edge_errors(g: PoseGraph):
@@ -158,6 +206,11 @@ def _assemble_dense(g: PoseGraph, r, Ji, Jj, w, damping):
     H = H.at[t, :, t, :].add(Hjj)
     b = b.at[f].add(bi)
     b = b.at[t].add(bj)
+    if g.priors_idx.shape[0] > 0:  # unary GPS/gravity/pose priors
+        rp, Hp, bp = _prior_blocks(g, g.poses)
+        pi = g.priors_idx
+        H = H.at[pi, :, pi, :].add(Hp)
+        b = b.at[pi].add(bp)
     H = H.reshape(6 * N, 6 * N)
     b = b.reshape(6 * N)
     # gauge: clamp the root node with a strong prior; free invalid nodes get
@@ -245,17 +298,29 @@ def optimize_pcg(g: PoseGraph, iters: int = 15, cg_iters: int = 60,
         oy = jnp.einsum("eij,ej->ei", info_w, r)
         b = b.at[g.edges_from].add(jnp.einsum("eji,ej->ei", Ji, oy))
         b = b.at[g.edges_to].add(jnp.einsum("eji,ej->ei", Jj, oy))
+
+        has_priors = g.priors_idx.shape[0] > 0
+        if has_priors:
+            rp, Hp, bp = _prior_blocks(g._replace(poses=poses), poses)
+            b = b.at[g.priors_idx].add(bp)
         b = -b
 
         # Jacobi preconditioner diag(H)
         di = jnp.einsum("eki,ekl,eli->ei", Ji, info_w, Ji)
         dj = jnp.einsum("eki,ekl,eli->ei", Jj, info_w, Jj)
         diag = jnp.zeros((N, 6)).at[g.edges_from].add(di).at[g.edges_to].add(dj)
+        if has_priors:
+            diag = diag.at[g.priors_idx].add(
+                jnp.diagonal(Hp, axis1=-2, axis2=-1))
         diag = diag + fix_diag[:, None] + 1e-8
         Minv = 1.0 / diag
 
         def hx(x):
-            return _hx_product(g, Ji, Jj, info_w, x, fix_diag)
+            y = _hx_product(g, Ji, Jj, info_w, x, fix_diag)
+            if has_priors:
+                y = y.at[g.priors_idx].add(
+                    jnp.einsum("pij,pj->pi", Hp, x[g.priors_idx]))
+            return y
 
         def cg_body(carry, _):
             x, rr, p, rz = carry

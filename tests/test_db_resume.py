@@ -180,7 +180,7 @@ def test_node_gt_velocity_gps_roundtrip(tmp_path):
     gt[0, 3] = 1.25
     sig.gt_pose = gt
     sig.velocity = np.array([0.1, 0, 0, 0, 0, 0.02], np.float32)
-    sig.gps = np.array([3.0, -71.1, 42.3, 12.0, 2.0, 0.0], np.float32)
+    sig.gps = np.array([3.0, -71.123456, 42.3654321, 12.0, 2.0, 0.0], np.float64)
     db.save_signature(sig)
     db.flush()
     db.close()

@@ -130,3 +130,34 @@ def test_statistics_reference_registry_and_engine_keys():
     assert "Memory/Working memory size/" in reg
     assert "Loop/Highest hypothesis value/" in reg
     assert "Memory/Distance travelled/m" in reg
+
+
+def test_engine_gps_fixes_become_graph_priors():
+    """GPS fixes attached via process() surface as xyz prior factors in the
+    optimizer's graph when Optimizer/PriorsIgnored=false (reference:
+    OptimizerG2O GPS prior edges)."""
+    import jax
+    from rtabmap_tpu.core.frame import extract_features
+    from rtabmap_tpu.datasets import synthetic as S
+    from rtabmap_tpu.engine.rtabmap import Rtabmap
+    from rtabmap_tpu.utils.params import Parameters
+
+    cam = C.CameraModel.make(160.0, 160.0, 79.5, 59.5, 160, 120)
+    p = Parameters().set("Optimizer/PriorsIgnored", "false")
+    slam = Rtabmap(cam, p, node_capacity=32, words_per_frame=256)
+    extract = jax.jit(lambda g, d: extract_features(g, d, cam, 256))
+    poses = S.loop_trajectory(24)[:3]
+    for i in range(3):
+        g, d = S.render(poses[i], cam)
+        frame = extract(g, d)
+        slam.process(frame, np.asarray(poses[i]), stamp=float(i + 1),
+                     gps=[float(i), -73.5673, 45.5017 + 1e-5 * i, 50.0, 2.0, 0.0])
+    ids, _, _, _, _, _, _, priors = slam._build_graph()
+    pr_idx, pr_meas, pr_info = priors
+    assert len(pr_idx) == 3
+    # xyz information only, rotation block zero
+    assert np.all(pr_info[0][:3, :3] > 0) or pr_info[0][0, 0] > 0
+    np.testing.assert_allclose(pr_info[0][3:, 3:], 0.0)
+    # second fix ~1.1m north of the first in ENU
+    assert 0.8 < pr_meas[1][1, 3] < 1.4, pr_meas[1][:, 3]
+    slam.close()

@@ -142,3 +142,66 @@ def test_dcs_switchable_constraints_disable_outlier_closure():
     out_pcg, _ = PG.optimize_pcg(g2, iters=15, cg_iters=80,
                                  switch_mask=switch, dcs_phi=1.0)
     assert abs(_ate(out_pcg.poses, gt) - ate_dcs) < 0.05
+
+
+def test_gps_xyz_priors_pull_drifted_chain():
+    """Unary xyz priors (GPS role) must correct a drifting open chain —
+    no loop closure, just absolute position fixes on every 5th node."""
+    import numpy as onp
+    from rtabmap_tpu.optim import pose_graph as PG
+
+    g, gt = make_noisy_loop(n=24, drift=0.05)
+    # drop the loop-closure edge: keep only odometry
+    E = g.edges_from.shape[0]
+    edge_valid = jnp.asarray(onp.arange(E) < E - 1)
+    pr = list(range(0, 24, 3))
+    pr_idx = jnp.asarray(onp.asarray(pr, onp.int32))
+    pr_meas = gt[pr_idx]
+    inf6 = onp.zeros((len(pr), 6, 6), onp.float32)
+    inf6[:, :3, :3] = onp.eye(3) * 100.0  # xyz-only information (GPS)
+    gp = g._replace(edge_valid=edge_valid,
+                    priors_idx=pr_idx,
+                    priors_meas=jnp.asarray(pr_meas),
+                    priors_info=jnp.asarray(inf6),
+                    prior_valid=jnp.ones((len(pr),), bool))
+
+    def ate(poses):
+        return float(jnp.sqrt(jnp.mean(jnp.sum(
+            (poses[:, :, 3] - gt[:, :, 3]) ** 2, -1))))
+
+    before = ate(gp.poses)
+    out, _ = PG.optimize_dense(gp, iters=25)
+    after = ate(out.poses)
+    assert after < before * 0.5, (before, after)
+    # and the PCG path agrees
+    out2, _ = PG.optimize_pcg(gp, iters=15, cg_iters=48)
+    assert ate(out2.poses) < before * 0.5, (before, ate(out2.poses))
+
+
+def test_gravity_priors_level_roll_pitch():
+    """Rotation-block priors (gravity role) must level a tilted chain."""
+    import numpy as onp
+    from rtabmap_tpu.optim import pose_graph as PG
+
+    n = 8
+    poses = onp.stack([
+        onp.asarray(T.from_xyzrpy(jnp.array([i * 1.0, 0, 0, 0.3, -0.2, 0.0])))
+        for i in range(n)])
+    meas = onp.stack([
+        onp.asarray(T.relative(jnp.asarray(poses[i]), jnp.asarray(poses[i + 1])))
+        for i in range(n - 1)])
+    level = onp.stack([
+        onp.asarray(T.from_xyzrpy(jnp.array([i * 1.0, 0, 0, 0, 0, 0.0])))
+        for i in range(n)])
+    inf6 = onp.zeros((n, 6, 6), onp.float32)
+    inf6[:, 3:5, 3:5] = onp.eye(2) * 50.0  # roll/pitch only
+    g = PG.make_graph(
+        jnp.asarray(poses), jnp.arange(n - 1), jnp.arange(1, n),
+        jnp.asarray(meas),
+        priors_idx=jnp.arange(n), priors_meas=jnp.asarray(level),
+        priors_info=jnp.asarray(inf6))
+    out, _ = PG.optimize_dense(g, iters=20)
+    rpy = onp.stack([onp.asarray(T.to_xyzrpy(out.poses[i])) for i in range(n)])
+    # node 0 is the gauge-fixed root (clamped, like the reference's
+    # fixed first pose) — only free nodes must level
+    assert onp.abs(rpy[1:, 3:5]).max() < 0.05, rpy[:, 3:5]
