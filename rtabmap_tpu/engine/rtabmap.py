@@ -31,8 +31,8 @@ from rtabmap_tpu.geometry import camera as C
 from rtabmap_tpu.geometry import transform as T
 from rtabmap_tpu.memory.memory import (
     LINK_GLOBAL_CLOSURE, LINK_LOCAL_SPACE_CLOSURE, LINK_LOCAL_TIME_CLOSURE,
-    LINK_NEIGHBOR, LINK_POSE_PRIOR, LINK_USER_CLOSURE, LINK_VIRTUAL_CLOSURE,
-    Link, Memory, Signature,
+    LINK_LANDMARK, LINK_NEIGHBOR, LINK_POSE_PRIOR, LINK_USER_CLOSURE,
+    LINK_VIRTUAL_CLOSURE, Link, Memory, Signature,
 )
 from rtabmap_tpu.optim import pose_graph as PG
 from rtabmap_tpu.utils.logging import Statistics, Timer, get_logger
@@ -92,6 +92,8 @@ class Rtabmap:
         self.retrieval_margin = 2  # graph-depth margin around hypothesis
 
         self.optimized_poses: Dict[int, np.ndarray] = {}
+        self.landmark_poses: Dict[int, np.ndarray] = {}   # negative-id landmarks
+        self._landmark_observers: Dict[int, List[int]] = {}
         self.map_correction = np.asarray(T.identity())
         self.last_hypothesis: Tuple[int, float] = (0, 0.0)
         self.loop_closure_id = 0
@@ -174,7 +176,7 @@ class Rtabmap:
                 stamp: float = 0.0, scan=None,
                 user_data: Optional[bytes] = None, grid=None,
                 env_sensors=None, global_desc=None, gt_pose=None,
-                velocity=None, gps=None) -> Statistics:
+                velocity=None, gps=None, landmarks=None) -> Statistics:
         st = Statistics()
         timer = Timer()
         odom_pose = np.asarray(odom_pose, np.float32)
@@ -372,6 +374,30 @@ class Rtabmap:
                 if prox_links:
                     st.add("Proximity/Space last detection id/",
                            prox_links[-1].from_id)
+
+        # --- H. landmark closures (reference: Rtabmap.cpp:3203 stage H —
+        # fiducial markers become negative-id graph nodes; re-observing a
+        # landmark constrains the trajectory exactly like a loop closure)
+        if landmarks:
+            for lm in landmarks:
+                lm_id = -abs(int(lm.id))
+                inf6 = np.zeros((6, 6), np.float32)
+                inf6[:3, :3] = np.eye(3) / max(lm.variance_linear, 1e-6)
+                inf6[3:, 3:] = np.eye(3) / max(lm.variance_angular, 1e-6)
+                if lm_id not in self._landmark_observers:
+                    # resume support: recover observers from persisted links
+                    prior = [s.id for s in self.memory.signatures.values()
+                             if lm_id in s.links and s.id != sig.id]
+                    if prior:
+                        self._landmark_observers[lm_id] = prior
+                lk = Link(sig.id, lm_id, LINK_LANDMARK,
+                          np.asarray(lm.transform, np.float32), inf6)
+                self.memory.add_link(lk)
+                if self._landmark_observers.get(lm_id):
+                    links_added.append(lk)  # re-observation == closure
+                    st.add("Loop/Landmark_detected/", -lm_id)
+                self._landmark_observers.setdefault(lm_id, []).append(sig.id)
+            st.add("Loop/Landmarks observed/", len(landmarks))
 
         # --- I. graph optimization (+ max-error reject gate) — or, in
         # localization mode, a direct map-correction update (the reference
@@ -678,6 +704,7 @@ class Rtabmap:
                          LINK_LOCAL_TIME_CLOSURE, LINK_USER_CLOSURE}
         ef, et, meas, info, switch = [], [], [], [], []
         pr_idx, pr_meas, pr_info = [], [], []
+        lm_links = []
         for lk in links:
             if lk.type == LINK_POSE_PRIOR:
                 # unary absolute-pose prior (reference: kPosePrior links,
@@ -687,19 +714,44 @@ class Rtabmap:
                     pr_meas.append(lk.transform)
                     pr_info.append(lk.information)
                 continue
+            if lk.to_id < 0 and lk.from_id in id_to_idx:
+                lm_links.append(lk)
+                continue
             if lk.from_id in id_to_idx and lk.to_id in id_to_idx:
                 ef.append(id_to_idx[lk.from_id])
                 et.append(id_to_idx[lk.to_id])
                 meas.append(lk.transform)
                 info.append(lk.information)
                 switch.append(lk.type in closure_types)
+        # landmark nodes (reference: negative-id landmark vertices,
+        # Rtabmap.cpp:3203 stage H): appended AFTER the regular nodes so the
+        # gauge root (last regular node) keeps its index; initial pose =
+        # first observer's pose ∘ measurement
+        lm_ids = sorted({lk.to_id for lk in lm_links})
+        if lm_ids:
+            lm_init = []
+            for lm in lm_ids:
+                id_to_idx[lm] = N + len(lm_init)
+                first = next(lk for lk in lm_links if lk.to_id == lm)
+                obs_pose = pose_arr[id_to_idx[first.from_id]]
+                lm_init.append(np.asarray(
+                    T.compose(jnp.asarray(obs_pose),
+                              jnp.asarray(first.transform)), np.float32))
+            pose_arr = np.concatenate([pose_arr, np.stack(lm_init)])
+            for lk in lm_links:
+                ef.append(id_to_idx[lk.from_id])
+                et.append(id_to_idx[lk.to_id])
+                meas.append(lk.transform)
+                info.append(lk.information)
+                switch.append(False)
+            ids = ids + lm_ids
         if not self.params.get("Optimizer/PriorsIgnored"):
             # GPS fixes -> ENU xyz priors anchored at the first fix
             # (reference: OptimizerG2O GPS prior path)
             from rtabmap_tpu.utils import gps as GPSU
 
-            fixes = [(i, self.memory.get(i).gps) for i in ids
-                     if getattr(self.memory.get(i), "gps", None) is not None]
+            fixes = [(i, self.memory.get(i).gps) for i in ids if i >= 0
+                     and getattr(self.memory.get(i), "gps", None) is not None]
             if fixes:
                 origin = fixes[0][1]
                 for nid, fix in fixes:
@@ -746,6 +798,7 @@ class Rtabmap:
             return
         # pad nodes/edges to pow2 buckets so jit caches a few shapes only
         N, E = len(ids), len(ef)
+        n_reg = sum(1 for i in ids if i >= 0)  # landmarks appended after
         Np = 1 << max(N - 1, 1).bit_length()
         Ep = 1 << max(E - 1, 1).bit_length()
         poses_p = np.concatenate([poses, np.tile(np.eye(3, 4, dtype=np.float32), (Np - N, 1, 1))])
@@ -771,7 +824,7 @@ class Rtabmap:
                           jnp.asarray(meas_p), jnp.asarray(info_p),
                           node_valid=jnp.asarray(node_valid),
                           edge_valid=jnp.asarray(edge_valid),
-                          root=N - 1,
+                          root=n_reg - 1,
                           priors_idx=jnp.asarray(pr_idx, jnp.int32),
                           priors_meas=jnp.asarray(pr_meas, jnp.float32),
                           priors_info=jnp.asarray(pr_info, jnp.float32),
@@ -792,7 +845,7 @@ class Rtabmap:
             # keep every resident node addressable in map frame even when
             # the solve is discarded (new nodes get odometry ⊕ correction)
             for i in ids:
-                if i not in self.optimized_poses:
+                if i >= 0 and i not in self.optimized_poses:
                     self.optimized_poses[i] = np.asarray(
                         T.compose(jnp.asarray(self.map_correction),
                                   jnp.asarray(self.memory.get(i).pose)))
@@ -813,8 +866,11 @@ class Rtabmap:
             propagate_missing()
             return
         for k, i in enumerate(ids):
-            self.optimized_poses[i] = new_poses[k]
-        self._update_map_correction(ids[-1])
+            if i >= 0:
+                self.optimized_poses[i] = new_poses[k]
+            else:
+                self.landmark_poses[i] = new_poses[k]
+        self._update_map_correction(ids[n_reg - 1])
 
     def _update_map_correction(self, last_id: int):
         odo = jnp.asarray(self.memory.get(last_id).pose)
@@ -950,7 +1006,7 @@ class Rtabmap:
                               jnp.asarray(np.asarray(et)),
                               jnp.asarray(np.asarray(meas)),
                               jnp.asarray(np.asarray(info)),
-                              root=len(ids) - 1)
+                              root=sum(1 for i in ids if i >= 0) - 1)
             out, _ = PG.optimize(g, iters=12)
             lin_ratio, ang_ratio = PG.edge_errors(out)
             err = np.maximum(np.asarray(lin_ratio), np.asarray(ang_ratio))

@@ -422,6 +422,10 @@ class Memory:
                 if j in idset and (j, i) not in seen:
                     seen.add((i, j))
                     links.append(lk)
+                elif j < 0 and lk.type == LINK_LANDMARK:
+                    # landmark constraints (negative ids, reference
+                    # convention) — the optimizer adds landmark nodes
+                    links.append(lk)
         return poses, links
 
 

@@ -64,3 +64,64 @@ def test_marker_detection():
     # marker is centered and fronto-parallel; 160px/0.2m at f=500 -> z=0.625
     assert abs(lm.transform[2, 3] - 0.625) < 0.08, lm.transform
     assert abs(lm.transform[0, 3]) < 0.05 and abs(lm.transform[1, 3]) < 0.05
+
+
+def test_engine_landmark_closure_corrects_drift():
+    """Stage H: re-observing a fiducial landmark after odometric drift must
+    pull the trajectory back (reference: Rtabmap.cpp:3203 landmark
+    closures; landmarks are negative-id graph nodes)."""
+    import jax
+    from rtabmap_tpu.core.frame import extract_features
+    from rtabmap_tpu.engine.rtabmap import Rtabmap
+    from rtabmap_tpu.geometry import transform as T
+    from rtabmap_tpu.ops.markers import Landmark
+    from rtabmap_tpu.utils.params import Parameters
+
+    import jax.numpy as jnp
+
+    cam = C.CameraModel.make(160.0, 160.0, 79.5, 59.5, 160, 120)
+    slam = Rtabmap(cam, Parameters(), node_capacity=32, words_per_frame=256)
+    extract = jax.jit(lambda g, d: extract_features(g, d, cam, 256))
+
+    gt = S.loop_trajectory(8)  # a loop: last pose returns near the first
+    n = 8
+    # odometry with injected drift: shift all poses after the first by dx
+    drift = np.eye(3, 4, dtype=np.float32)
+    marker_world = np.asarray(gt[0])  # landmark sits at the start pose
+    for i in range(n):
+        g, d = S.render(gt[i], cam)
+        frame = extract(g, d)
+        odom = np.asarray(gt[i]).copy()
+        if i > 0:
+            odom[0, 3] += 0.3  # constant offset = accumulated drift
+        lms = None
+        if i in (0, n - 1):
+            # marker observed from the true pose: T_cam_marker
+            t_cm = np.asarray(T.relative(gt[i], jnp.asarray(marker_world)))
+            lms = [Landmark(id=7, transform=t_cm, size=0.2,
+                            variance_linear=0.001, variance_angular=0.001)]
+        slam.process(frame, odom, stamp=float(i + 1), landmarks=lms,
+                     covariance=np.eye(6) * 0.01)  # soft odometry vs
+        # stiff landmark (var 1e-3): the closure should absorb the drift
+
+    assert -7 in slam.landmark_poses, "landmark node not in optimized graph"
+    # the optimizer anchors the NEWEST node (gauge root), so the correction
+    # shows up in the relative geometry: first-vs-last optimized relative
+    # translation must match GT (raw odometry is off by the 0.3m drift)
+    first_id, last_id = slam.memory.stm[0], slam.memory.stm[-1]
+    if first_id not in slam.optimized_poses:
+        first_id = sorted(slam.optimized_poses)[0]
+    rel_opt = np.asarray(T.relative(
+        jnp.asarray(slam.optimized_poses[last_id]),
+        jnp.asarray(slam.optimized_poses[first_id])))
+    rel_gt = np.asarray(T.relative(gt[n - 1], gt[0]))
+    err = np.linalg.norm(rel_opt[:, 3] - rel_gt[:, 3])
+    assert err < 0.12, err
+    # landmark sits at the right place relative to the anchored last node
+    rel_lm = np.asarray(T.relative(
+        jnp.asarray(slam.optimized_poses[last_id]),
+        jnp.asarray(slam.landmark_poses[-7])))
+    rel_lm_gt = np.asarray(T.relative(gt[n - 1], jnp.asarray(marker_world)))
+    lm_err = np.linalg.norm(rel_lm[:, 3] - rel_lm_gt[:, 3])
+    assert lm_err < 0.12, lm_err
+    slam.close()
