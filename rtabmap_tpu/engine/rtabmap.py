@@ -89,6 +89,7 @@ class Rtabmap:
         self.detection_rate = float(p["Rtabmap/DetectionRate"])
         self.linear_update = float(p["RGBD/LinearUpdate"])
         self.angular_update = float(p["RGBD/AngularUpdate"])
+        self.bin_data_kept = bool(p["Mem/BinDataKept"])
         self.retrieval_margin = 2  # graph-depth margin around hypothesis
 
         self.optimized_poses: Dict[int, np.ndarray] = {}
@@ -176,7 +177,8 @@ class Rtabmap:
                 stamp: float = 0.0, scan=None,
                 user_data: Optional[bytes] = None, grid=None,
                 env_sensors=None, global_desc=None, gt_pose=None,
-                velocity=None, gps=None, landmarks=None) -> Statistics:
+                velocity=None, gps=None, landmarks=None,
+                raw=None) -> Statistics:
         st = Statistics()
         timer = Timer()
         odom_pose = np.asarray(odom_pose, np.float32)
@@ -222,6 +224,16 @@ class Rtabmap:
                 # float64: geodetic degrees at f32 resolution quantize to
                 # ~0.4 m at mid latitudes — never store fixes in f32
                 sig.gps = np.asarray(gps, np.float64)
+            # raw sensor data kept with the node for later export /
+            # reprocessing (reference: Mem/BinDataKept, compressed
+            # image/depth in the Data table — Memory.cpp:6474,6583)
+            if (raw is not None and self.bin_data_kept
+                    and self.memory.db is not None):
+                gray, depth = raw
+                self.memory.db.save_raw_frame(
+                    sig.id, map_id=sig.map_id, stamp=stamp, pose=odom_pose,
+                    image=None if gray is None else np.asarray(gray),
+                    depth=None if depth is None else np.asarray(depth))
             neighbor_link = None
             if prev_id is not None:
                 prev = self.memory.get(prev_id)

@@ -247,13 +247,23 @@ def tool_global_ba(argv: List[str]):
 
 def tool_export_cloud(argv: List[str]):
     """Assemble + export the map point cloud / mesh from a store
-    (reference: tools/Export/main.cpp)."""
+    (reference: tools/Export/main.cpp; --mesh ~ --texture flags mirror
+    rtabmap-export's TSDF/meshing/texturing paths).
+
+    Usage: export_cloud <db> <out.(ply|obj)> [--mesh] [--texture]
+           [--voxel V] [--cam fx,fy,cx,cy,w,h]
+    --mesh fuses stored raw depth frames into a TSDF and writes the mesh;
+    --texture additionally bakes a multiband atlas from stored images
+    (requires frames recorded with Mem/BinDataKept or data_recorder)."""
     from rtabmap_tpu.maps.mesh import write_ply
     from rtabmap_tpu.memory.db import Database
     from rtabmap_tpu.geometry import transform as T
     import jax.numpy as jnp
 
     db_path, out_path = argv[0], argv[1]
+    opts = argv[2:]
+    if "--mesh" in opts or "--texture" in opts:
+        return _export_mesh(db_path, out_path, opts)
     db = Database(db_path, async_writes=False)
     admin = db.load_admin()
     clouds = []
@@ -269,6 +279,82 @@ def tool_export_cloud(argv: List[str]):
     print(f"exported {len(cloud)} points -> {out_path}")
     db.close()
     return len(cloud)
+
+
+def _export_mesh(db_path: str, out_path: str, opts: List[str]):
+    """TSDF-fuse stored raw frames at optimized poses; optionally bake a
+    textured OBJ (reference: rtabmap-export --texture pipeline:
+    util3d_surface meshing + createTextureMesh + multiband)."""
+    from rtabmap_tpu.geometry import camera as C
+    from rtabmap_tpu.maps.mesh import write_ply
+    from rtabmap_tpu.maps.texture import texture_mesh, write_textured_obj
+    from rtabmap_tpu.maps.tsdf import TSDFVolume
+    from rtabmap_tpu.memory.db import Database
+
+    def opt(flag, default):
+        return opts[opts.index(flag) + 1] if flag in opts else default
+
+    voxel = float(opt("--voxel", "0.05"))
+    db = Database(db_path, async_writes=False)
+    admin = db.load_admin()
+    frames = []
+    for sid in db.all_node_ids():
+        raw = db.load_raw_frame(sid)
+        if raw is None or raw[1] is None:
+            continue
+        img, depth, calib = raw
+        sig = db.load_signature(sid)
+        pose = admin["optimized_poses"].get(
+            sid, sig.pose if sig is not None else None)
+        if pose is None:
+            continue
+        frames.append((np.asarray(pose, np.float32), img,
+                       np.asarray(depth, np.float32), calib))
+    if not frames:
+        db.close()
+        raise SystemExit("no raw depth frames stored in this database "
+                         "(record with Mem/BinDataKept or data_recorder)")
+    H, W = frames[0][2].shape
+    if "--cam" in opts:
+        fx, fy, cx, cy, w, h = [float(x) for x in opt("--cam", "").split(",")]
+        cam = C.CameraModel.make(fx, fy, cx, cy, int(w), int(h))
+    elif frames[0][3]:
+        c = json.loads(frames[0][3])
+        cam = C.CameraModel.make(c["fx"], c["fy"], c["cx"], c["cy"],
+                                 c.get("width", W), c.get("height", H))
+    else:
+        f = 0.9 * W
+        cam = C.CameraModel.make(f, f, W / 2.0, H / 2.0, W, H)
+
+    # volume bounds from camera positions +- max depth
+    centers = np.stack([p[:, 3] for p, *_ in frames])
+    zmax = min(5.0, float(max(np.nanmax(d[np.isfinite(d)], initial=1.0)
+                              for _, _, d, _ in frames)))
+    margin = 0.25 * zmax + 0.2   # keep voxels behind observed surfaces
+    lo = centers.min(0) - zmax - margin
+    hi = centers.max(0) + zmax + margin
+    vol = TSDFVolume(lo, hi - lo, voxel=max(voxel, float(np.max(hi - lo)) / 192))
+    for pose, _, depth, _ in frames:
+        vol.integrate(depth, pose, cam)
+    verts, faces = vol.extract_mesh()
+    if "--texture" in opts and any(f[1] is not None for f in frames):
+        poses = [f[0] for f in frames if f[1] is not None]
+        imgs = [np.asarray(f[1], np.float32) for f in frames
+                if f[1] is not None]
+        imgs = [im / 255.0 if im.max() > 2.0 else im for im in imgs]
+        depths = [f[2] for f in frames if f[1] is not None]
+        tm = texture_mesh(verts, faces, poses, cam, imgs, depths=depths)
+        if not out_path.endswith(".obj"):
+            out_path = out_path.rsplit(".", 1)[0] + ".obj"
+        write_textured_obj(out_path, tm)
+        print(f"exported textured mesh: {len(verts)} verts, "
+              f"{len(faces)} faces, atlas {tm.atlas.shape[0]}px -> {out_path}")
+    else:
+        write_ply(out_path, verts, faces=faces)
+        print(f"exported mesh: {len(verts)} verts, {len(faces)} faces "
+              f"-> {out_path}")
+    db.close()
+    return len(faces)
 
 
 def tool_reduce_graph(argv: List[str]):
