@@ -87,7 +87,9 @@ def rvl_compress(depth_mm: np.ndarray) -> bytes:
     lib = _load()
     if lib is None:
         return _pyzlib.compress(arr.tobytes(), 1)  # fallback: zlib
-    out = np.empty(arr.size * 2 + 16, np.uint8)
+    # worst case ~3.5 bytes/value (6-nibble deltas + run headers); the C
+    # contract requires >= 4*n+8 bytes
+    out = np.empty(arr.size * 4 + 16, np.uint8)
     n = lib.rvl_compress(arr.ctypes.data, arr.size, out.ctypes.data)
     return out[:n].tobytes()
 

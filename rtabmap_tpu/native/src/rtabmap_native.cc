@@ -55,12 +55,18 @@ struct NibbleWriter {
 
 struct NibbleReader {
   const uint8_t* buf;
+  size_t end;       // total nibbles available
   size_t pos = 0;
+  bool overrun = false;
   uint32_t get() {
     uint32_t v = 0;
     int shift = 0;
     uint8_t nib;
     do {
+      if (pos >= end || shift > 31) {  // corrupt/truncated stream
+        overrun = true;
+        return 0;
+      }
       nib = (pos & 1) ? (buf[pos >> 1] & 0xF) : (buf[pos >> 1] >> 4);
       ++pos;
       v |= (uint32_t)(nib & 0x7) << shift;
@@ -70,7 +76,9 @@ struct NibbleReader {
   }
 };
 
-static inline uint32_t zigzag(int32_t d) { return (d << 1) ^ (d >> 31); }
+static inline uint32_t zigzag(int32_t d) {
+  return ((uint32_t)d << 1) ^ (uint32_t)(d >> 31);
+}
 static inline int32_t unzigzag(uint32_t z) { return (int32_t)(z >> 1) ^ -(int32_t)(z & 1); }
 
 // Returns compressed byte size (buffer must hold >= 2*n*2+8 bytes).
@@ -96,19 +104,19 @@ int64_t rvl_compress(const uint16_t* in, int64_t n, uint8_t* out) {
 
 int64_t rvl_decompress(const uint8_t* in, int64_t in_bytes, uint16_t* out,
                        int64_t n) {
-  (void)in_bytes;
-  NibbleReader r{in};
+  NibbleReader r{in, (size_t)in_bytes * 2};
   int64_t i = 0;
   uint16_t prev = 0;
   while (i < n) {
     uint32_t zeros = r.get();
     uint32_t nonzeros = r.get();
-    if (i + (int64_t)zeros + (int64_t)nonzeros > n) return -1;
+    if (r.overrun || i + (int64_t)zeros + (int64_t)nonzeros > n) return -1;
     for (uint32_t k = 0; k < zeros; ++k) out[i++] = 0;
     for (uint32_t k = 0; k < nonzeros; ++k) {
       prev = (uint16_t)((int32_t)prev + unzigzag(r.get()));
       out[i++] = prev;
     }
+    if (r.overrun) return -1;
   }
   return i;
 }

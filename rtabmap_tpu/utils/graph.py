@@ -3,7 +3,8 @@
 Capability parity: the reference's ``graph`` namespace utilities
 (/root/reference/corelib/src/Graph.cpp — Dijkstra/A* ``computePath``
 Graph.h:243-276, ``findNearestNodes``, ``radiusPosesFiltering``,
-``getPosesInRadius``; metrics live in utils/metrics.py).
+``getPosesInRadius``, ``frustumPosesFiltering`` Graph.h:193,
+``radiusPosesClustering`` Graph.h:223; metrics live in utils/metrics.py).
 Host-side (graph bookkeeping is control-plane).
 """
 from __future__ import annotations
@@ -109,6 +110,60 @@ def radius_poses_filtering(poses: Dict[int, np.ndarray], radius: float,
         if ok:
             kept.append(i)
     return kept
+
+
+def frustum_poses_filtering(poses: Dict[int, np.ndarray],
+                            camera_pose: np.ndarray,
+                            horizontal_fov_deg: float = 45.0,
+                            vertical_fov_deg: float = 45.0,
+                            near: float = 0.1, far: float = 100.0,
+                            negative: bool = False) -> List[int]:
+    """Poses whose position lies inside the camera's view frustum
+    (reference: graph::frustumPosesFiltering, Graph.h:193 — its
+    convention: camera X forward, Y up, Z right).
+
+    Vectorized: one (N,3) transform + 4 plane tests."""
+    cp = np.asarray(camera_pose, np.float32)
+    ids = sorted(poses)
+    if not ids:
+        return []
+    P = np.stack([np.asarray(poses[i], np.float32)[:3, 3] for i in ids])
+    # world -> camera
+    R, t = cp[:3, :3], cp[:3, 3]
+    pc = (P - t) @ R          # R^T (p - t)
+    x, y, z = pc[:, 0], pc[:, 1], pc[:, 2]   # x fwd, y up, z right
+    th = np.tan(np.deg2rad(horizontal_fov_deg) / 2.0)
+    tv = np.tan(np.deg2rad(vertical_fov_deg) / 2.0)
+    inside = ((x > near) & (x < far)
+              & (np.abs(z) < x * th) & (np.abs(y) < x * tv))
+    if negative:
+        inside = ~inside
+    return [i for i, ok in zip(ids, inside) if ok]
+
+
+def radius_poses_clustering(poses: Dict[int, np.ndarray], radius: float,
+                            angle: float = 0.0) -> List[Tuple[int, int]]:
+    """All (id, neighbor-id) pairs within radius (+ optional orientation
+    cone) of each other (reference: graph::radiusPosesClustering,
+    Graph.h:223 — feeds DetectMoreLoopClosures candidate pairs)."""
+    ids = sorted(poses)
+    if not ids:
+        return []
+    P = np.stack([np.asarray(poses[i], np.float32) for i in ids])
+    pos = P[:, :3, 3]
+    d2 = np.sum((pos[:, None] - pos[None]) ** 2, axis=-1)
+    near = d2 < radius * radius
+    np.fill_diagonal(near, False)
+    if angle > 0:
+        R = P[:, :3, :3]
+        tr = np.einsum("iab,jab->ij", R, R)           # trace(Ri^T Rj)
+        cosang = np.clip((tr - 1.0) / 2.0, -1.0, 1.0)
+        near &= np.arccos(cosang) < angle
+    out = []
+    ii, jj = np.nonzero(near)
+    for a, b in zip(ii, jj):
+        out.append((ids[a], ids[b]))
+    return out
 
 
 def connected_component(adj: Dict[int, Dict[int, float]], seed: int) -> List[int]:

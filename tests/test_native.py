@@ -76,3 +76,46 @@ def test_frame_loader_prefetch(tmp_path):
         assert g.shape == (384, 512)
         assert d is not None and d[0, 0] == 1000 + i
     loader.close()
+
+
+def test_rvl_corrupt_input_fails_cleanly():
+    """Truncated / bit-flipped RVL streams return an error, never OOB."""
+    rng = np.random.RandomState(3)
+    depth = (rng.rand(60, 80) * 6000).astype(np.uint16)
+    blob = N.rvl_compress(depth)
+    for cut in range(0, len(blob), 13):
+        try:
+            back = N.rvl_decompress(blob[:cut], depth.shape)
+            # a prefix may decode to garbage but must keep the shape
+            assert back.shape == depth.shape
+        except ValueError:
+            pass  # clean error is fine
+
+
+@pytest.mark.skipif(os.environ.get("SKIP_SANITIZERS") == "1",
+                    reason="sanitizers disabled")
+def test_sanitizer_selftests(tmp_path):
+    """ASan/UBSan + TSan self-test binaries build and pass (SURVEY 5.2:
+    sanitizer CI for the native runtime)."""
+    import subprocess
+
+    from rtabmap_tpu.maps.texture import write_png
+
+    d = os.path.join(os.path.dirname(N.__file__))
+    for tgt in ("selftest-asan", "selftest-tsan"):
+        r = subprocess.run(["make", "-C", d, tgt], capture_output=True,
+                           text=True)
+        if r.returncode != 0:
+            pytest.skip(f"{tgt} build failed (toolchain without sanitizers)")
+    # PNG fixtures for the threaded loader path
+    rng = np.random.RandomState(0)
+    imgs = []
+    for k in range(5):
+        p = str(tmp_path / f"im{k}.png")
+        write_png(p, rng.rand(48, 64).astype(np.float32))
+        imgs.append(p)
+    for tgt in ("selftest-asan", "selftest-tsan"):
+        r = subprocess.run([os.path.join(d, tgt)] + imgs,
+                           capture_output=True, text=True, timeout=300)
+        assert r.returncode == 0, f"{tgt}: {r.stdout}\n{r.stderr}"
+        assert "native_selftest OK" in r.stdout

@@ -90,3 +90,49 @@ def test_goal_pose_snaps_to_nearest_node_and_rejects_far():
     slam.clear_path(0)
     assert not slam.set_goal_pose(far, tolerance=1.0)
     assert slam.path_status == -1
+
+
+def test_frustum_poses_filtering():
+    """reference: graph::frustumPosesFiltering (X fwd, Y up, Z right)."""
+    import numpy as np
+    from rtabmap_tpu.utils.graph import frustum_poses_filtering
+
+    def pose_at(x, y, z):
+        p = np.eye(3, 4, dtype=np.float32)
+        p[:, 3] = (x, y, z)
+        return p
+
+    poses = {
+        1: pose_at(5, 0, 0),     # straight ahead
+        2: pose_at(-5, 0, 0),    # behind
+        3: pose_at(5, 0, 10),    # far off to the side (>45deg fov)
+        4: pose_at(5, 0, 1),     # slightly right, inside
+        5: pose_at(200, 0, 0),   # beyond far plane
+        6: pose_at(0.05, 0, 0),  # inside near plane
+    }
+    cam = np.eye(3, 4, dtype=np.float32)
+    keep = frustum_poses_filtering(poses, cam, 45.0, 45.0, 0.1, 100.0)
+    assert keep == [1, 4]
+    drop = frustum_poses_filtering(poses, cam, 45.0, 45.0, 0.1, 100.0,
+                                   negative=True)
+    assert drop == [2, 3, 5, 6]
+
+
+def test_radius_poses_clustering():
+    """reference: graph::radiusPosesClustering."""
+    import numpy as np
+    from rtabmap_tpu.utils.graph import radius_poses_clustering
+
+    def pose_at(x, yaw=0.0):
+        c, s = np.cos(yaw), np.sin(yaw)
+        p = np.asarray([[c, -s, 0, x], [s, c, 0, 0], [0, 0, 1, 0]],
+                       np.float32)
+        return p
+
+    poses = {1: pose_at(0.0), 2: pose_at(0.5), 3: pose_at(10.0)}
+    pairs = radius_poses_clustering(poses, radius=1.0)
+    assert set(pairs) == {(1, 2), (2, 1)}
+    # orientation gate: rotate node 2 by 90deg, allow only 30deg
+    poses[2] = pose_at(0.5, yaw=np.pi / 2)
+    pairs = radius_poses_clustering(poses, radius=1.0, angle=np.pi / 6)
+    assert pairs == []
