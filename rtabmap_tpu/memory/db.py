@@ -299,15 +299,17 @@ class Database:
                  row["pose"], row["label"], row["ground_truth"],
                  row["velocity"], row["gps"]),
             )
+            # upsert only this writer's columns — INSERT OR REPLACE would
+            # wipe the raw image/depth columns saved by save_raw_frame
+            cols = ("word_ids", "descriptors", "keypoints", "points3d",
+                    "valid3d", "user_data", "scan", "grid", "env_sensors",
+                    "global_desc")
             self._conn.execute(
-                "INSERT OR REPLACE INTO Data"
-                " (id,word_ids,descriptors,keypoints,points3d,valid3d,user_data,"
-                "scan,grid,env_sensors,global_desc)"
-                " VALUES (?,?,?,?,?,?,?,?,?,?,?)",
-                (row["id"], row["word_ids"], row["descriptors"],
-                 row["keypoints"], row["points3d"], row["valid3d"],
-                 row["user_data"], row["scan"], row["grid"],
-                 row["env_sensors"], row["global_desc"]),
+                f"INSERT INTO Data (id,{','.join(cols)})"
+                f" VALUES ({','.join('?' * 11)})"
+                " ON CONFLICT(id) DO UPDATE SET "
+                + ",".join(f"{c}=excluded.{c}" for c in cols),
+                (row["id"],) + tuple(row[c] for c in cols),
             )
             for f, t, ty, tr, inf in row["links"]:
                 self._conn.execute(
@@ -380,14 +382,18 @@ class Database:
 
     def _save_raw_now(self, row):
         with self._lock:
+            # don't clobber a full signature's Node row (weight/label/gt)
             self._conn.execute(
-                "INSERT OR REPLACE INTO Node (id,map_id,weight,stamp,pose,label)"
-                " VALUES (?,?,0,?,?,'')",
+                "INSERT INTO Node (id,map_id,weight,stamp,pose,label)"
+                " VALUES (?,?,0,?,?,'')"
+                " ON CONFLICT(id) DO UPDATE SET stamp=excluded.stamp",
                 (row["id"], row["map_id"], row["stamp"], row["pose"]),
             )
             self._conn.execute(
-                "INSERT OR REPLACE INTO Data (id,image,depth,calibration)"
-                " VALUES (?,?,?,?)",
+                "INSERT INTO Data (id,image,depth,calibration)"
+                " VALUES (?,?,?,?)"
+                " ON CONFLICT(id) DO UPDATE SET image=excluded.image,"
+                " depth=excluded.depth,calibration=excluded.calibration",
                 (row["id"], row["image"], row["depth"], row["calibration"]),
             )
             self._conn.commit()

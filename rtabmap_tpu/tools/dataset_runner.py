@@ -28,10 +28,13 @@ def run_dataset(frames: Iterable, camera, params=None, stereo_model=None,
     from rtabmap_tpu.utils import metrics
     from rtabmap_tpu.utils.params import Parameters
 
+    from rtabmap_tpu.utils.logging import profile_trace
+
     p = params or Parameters()
     odom = OdometryF2M(camera, p)
     slam = Rtabmap(camera, p, db=db, node_capacity=node_capacity,
                    words_per_frame=max_kp)
+    profiling = bool(str(p["Tpu/ProfileDir"]))
 
     extract_rgbd = jax.jit(lambda g, d: extract_features(g, d, camera, max_kp))
 
@@ -46,29 +49,34 @@ def run_dataset(frames: Iterable, camera, params=None, stereo_model=None,
     est_odom, est_stamps, gt_poses = [], [], []
     n_loops = n_lost = 0
     t0 = time.time()
-    for i, fr in enumerate(frames):
-        if max_frames and i >= max_frames:
-            break
-        gray = jnp.asarray(fr.gray)
-        if fr.depth is not None:
-            feat = extract_rgbd(gray, jnp.asarray(fr.depth))
-        elif fr.right is not None:
-            feat = extract_stereo(gray, jnp.asarray(fr.right))
-        else:
-            raise ValueError("frame has neither depth nor right image")
-        pose, cov, info = odom.process(feat)
-        if pose is None:
-            n_lost += 1
-            pose, cov = odom.pose, np.eye(6) * 9999.0
-        st = slam.process(feat, np.asarray(pose), np.asarray(cov), stamp=fr.stamp)
-        n_loops += int(st.loop_closure_id > 0)
-        est_odom.append(np.asarray(pose))
-        est_stamps.append(fr.stamp)
-        gt_poses.append(fr.gt_pose)
-        if verbose and (i + 1) % 50 == 0:
-            print(f"frame {i+1}: odom inliers={info['inliers']} loops={n_loops} "
-                  f"wm={int(st.get('Memory/Working memory size/'))} "
-                  f"({(i+1)/(time.time()-t0):.1f} fps)")
+    with profile_trace(str(p["Tpu/ProfileDir"])):
+        for i, fr in enumerate(frames):
+            if max_frames and i >= max_frames:
+                break
+            with profile_trace.step(i, enabled=profiling):
+                gray = jnp.asarray(fr.gray)
+                if fr.depth is not None:
+                    feat = extract_rgbd(gray, jnp.asarray(fr.depth))
+                elif fr.right is not None:
+                    feat = extract_stereo(gray, jnp.asarray(fr.right))
+                else:
+                    raise ValueError("frame has neither depth nor right image")
+                pose, cov, info = odom.process(feat)
+                if pose is None:
+                    n_lost += 1
+                    pose, cov = odom.pose, np.eye(6) * 9999.0
+                st = slam.process(
+                    feat, np.asarray(pose), np.asarray(cov), stamp=fr.stamp,
+                    gt_pose=fr.gt_pose,
+                    raw=(fr.gray, fr.depth) if db is not None else None)
+            n_loops += int(st.loop_closure_id > 0)
+            est_odom.append(np.asarray(pose))
+            est_stamps.append(fr.stamp)
+            gt_poses.append(fr.gt_pose)
+            if verbose and (i + 1) % 50 == 0:
+                print(f"frame {i+1}: odom inliers={info['inliers']} loops={n_loops} "
+                      f"wm={int(st.get('Memory/Working memory size/'))} "
+                      f"({(i+1)/(time.time()-t0):.1f} fps)")
 
     elapsed = time.time() - t0
     opt = slam.get_optimized_poses()

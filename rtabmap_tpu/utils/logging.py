@@ -102,3 +102,44 @@ class Statistics:
             with open(path) as f:
                 cls._registry_cache = tuple(json.load(f))
         return cls._registry_cache
+
+
+class profile_trace:
+    """JAX profiler trace context (SURVEY 5.1: the TPU-native analogue of
+    the reference's UTimer-driven Timing/* statistics is a device trace —
+    view with TensorBoard/xprof). No-op when ``trace_dir`` is empty.
+
+    Usage::
+
+        with profile_trace(params["Tpu/ProfileDir"]):
+            for i, frame in enumerate(frames):
+                with profile_trace.step(i):
+                    ... device work ...
+    """
+
+    def __init__(self, trace_dir: str = ""):
+        self.dir = str(trace_dir or "")
+        self._cm = None
+
+    def __enter__(self):
+        if self.dir:
+            import jax
+
+            self._cm = jax.profiler.trace(self.dir)
+            self._cm.__enter__()
+        return self
+
+    def __exit__(self, *exc):
+        if self._cm is not None:
+            self._cm.__exit__(*exc)
+        return False
+
+    @staticmethod
+    def step(i: int, enabled: bool = True):
+        if not enabled:
+            import contextlib
+
+            return contextlib.nullcontext()
+        import jax
+
+        return jax.profiler.StepTraceAnnotation("slam_tick", step_num=i)

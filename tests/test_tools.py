@@ -73,3 +73,29 @@ def test_export_import_formats(tmp_path):
         keys = sorted(got)
         for k, i in enumerate(sorted(poses)):
             np.testing.assert_allclose(got[keys[k]], poses[i], atol=1e-4)
+
+
+@pytest.mark.slow
+def test_profiler_trace_and_textured_export_from_dataset(tmp_path):
+    """Tpu/ProfileDir writes a JAX trace (SURVEY 5.1); dataset runs keep
+    raw frames (Mem/BinDataKept) so rtabmap-export --texture works on the
+    resulting store."""
+    from rtabmap_tpu.tools.cli import tool_export_cloud, tool_rgbd_dataset
+
+    root = make_tum_dir(tmp_path, n=6)
+    db_path = str(tmp_path / "out.db")
+    prof = str(tmp_path / "trace")
+    out = tool_rgbd_dataset(["--Rtabmap/DetectionRate", "0",
+                             "--Tpu/ProfileDir", prof, root, db_path])
+    assert out["frames"] == 6
+    trace_files = []
+    for dirpath, _, files in os.walk(prof):
+        trace_files += [f for f in files if "trace" in f or f.endswith(".pb")]
+    assert trace_files, "no profiler trace written"
+
+    obj = str(tmp_path / "scene.obj")
+    nf = tool_export_cloud([db_path, obj, "--mesh", "--texture",
+                            "--cam", "300,300,160,120,320,240",
+                            "--voxel", "0.08"])
+    assert nf > 20
+    assert os.path.exists(str(tmp_path / "scene.png"))
