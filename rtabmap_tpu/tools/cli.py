@@ -871,6 +871,16 @@ def tool_images_joiner(argv: List[str]):
     return n
 
 
+def tool_wifi_mapping(argv: List[str]):
+    """User-data mapping example (reference: examples/WifiMapping).
+    Usage: wifi_mapping [out_dir] [n_frames]"""
+    from rtabmap_tpu.tools.wifi_mapping import run
+
+    out = argv[0] if argv else "/tmp/wifi_mapping"
+    n = int(argv[1]) if len(argv) > 1 else 24
+    return run(out, n)
+
+
 TOOLS = {
     "calibration": tool_calibration,
     "cleanup_local_grids": tool_cleanup_local_grids,
@@ -895,6 +905,7 @@ TOOLS = {
     "reduce_graph": tool_reduce_graph,
     "matcher": tool_matcher,
     "lidar_mapping": tool_lidar_mapping,
+    "wifi_mapping": tool_wifi_mapping,
 }
 
 

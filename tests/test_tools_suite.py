@@ -190,3 +190,22 @@ def test_ply_roundtrip(tmp_path):
     np.testing.assert_allclose(v, v2, atol=1e-4)
     np.testing.assert_array_equal(f, f2)
     np.testing.assert_array_equal(c, c2)
+
+
+def test_wifi_mapping_example(tmp_path):
+    """User-data channel end-to-end (reference: examples/WifiMapping):
+    RSSI packed on every node, persisted, read back at optimized poses."""
+    import numpy as np
+    from rtabmap_tpu.tools.wifi_mapping import run, rssi_at, unpack_wifi
+
+    out = str(tmp_path / "wifi")
+    rows = run(out, n_frames=8, verbose=False)
+    assert len(rows) == 8
+    import os
+    assert os.path.exists(os.path.join(out, "wifi_map.ply"))
+    assert os.path.exists(os.path.join(out, "wifi_map.csv"))
+    # signal strength decays with distance from the simulated AP
+    ap = np.array([1.5, 0.0, 0.0])
+    for _, x, y, z, dbm in rows:
+        expect = rssi_at([x, y, z], ap)
+        assert abs(dbm - expect) < 3.0  # optimized pose ~ render pose
