@@ -151,3 +151,37 @@ def build_neighbor_table(links, n_slots: int, depth: int, max_neighbors: int):
             nbr_idx[s, k] = v
             nbr_margin[s, k] = m
     return nbr_idx, nbr_margin
+
+
+def prediction_matrix(nbr_idx, nbr_margin, node_valid, kernel,
+                      vp_prior: float = 0.9) -> np.ndarray:
+    """Dense (N+1,N+1) column-stochastic prediction matrix — the explicit
+    form of the sparse prediction inside `_predict_and_update`
+    (reference: BayesFilter::generatePrediction, dumped by
+    Rtabmap::dumpPrediction)."""
+    nbr_idx = np.asarray(nbr_idx)
+    nbr_margin = np.asarray(nbr_margin)
+    node_valid = np.asarray(node_valid, bool)
+    kernel = np.asarray(kernel, np.float64)
+    N = nbr_idx.shape[0]
+    vp = kernel[0]
+    total_lc = kernel.sum()
+    P = np.zeros((N + 1, N + 1))
+    for src in range(N):
+        if not node_valid[src]:
+            continue
+        w = np.where(nbr_idx[src] >= 0,
+                     kernel[np.clip(nbr_margin[src] + 1, 0, len(kernel) - 1)],
+                     0.0)
+        self_extra = max((total_lc - vp) - w.sum(), 0.0)
+        col = w.sum() + self_extra
+        scale = (1.0 - vp) / col if col > 0 else 0.0
+        for k in range(nbr_idx.shape[1]):
+            if nbr_idx[src, k] >= 0:
+                P[nbr_idx[src, k], src] += w[k] * scale
+        P[src, src] += self_extra * scale
+        P[N, src] = vp
+    n_valid = max(int(node_valid.sum()), 1)
+    P[:N, N] = np.where(node_valid, (1.0 - vp_prior) / n_valid, 0.0)
+    P[N, N] = vp_prior
+    return P

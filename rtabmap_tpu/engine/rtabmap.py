@@ -1317,6 +1317,162 @@ class Rtabmap:
     def get_graph(self):
         return self.memory.get_constraints(session_only=False)
 
+    # ------------------------------------------------- Rtabmap.h accessors
+    # (reference: Rtabmap.h:127-158 — the engine introspection surface)
+    def get_wm(self) -> List[int]:
+        return list(self.memory.wm)
+
+    def get_stm(self) -> List[int]:
+        return list(self.memory.stm)
+
+    def get_wm_size(self) -> int:
+        return len(self.memory.wm)
+
+    def get_stm_size(self) -> int:
+        return len(self.memory.stm)
+
+    def is_in_stm(self, node_id: int) -> bool:
+        return node_id in self.memory.stm
+
+    def get_weights(self) -> Dict[int, int]:
+        return {i: self.memory.get(i).weight
+                for i in self.memory.wm + self.memory.stm}
+
+    def get_total_mem_size(self) -> int:
+        return len(self.memory.signatures)
+
+    def get_last_location_id(self) -> int:
+        return self.memory.stm[-1] if self.memory.stm else (
+            self.memory.wm[-1] if self.memory.wm else 0)
+
+    def get_pose(self, node_id: int):
+        if node_id in self.optimized_poses:
+            return np.asarray(self.optimized_poses[node_id])
+        s = self.memory.get(node_id)
+        return None if s is None else np.asarray(s.pose)
+
+    def get_loop_closure_id(self) -> int:
+        return self.loop_closure_id
+
+    def get_highest_hypothesis(self) -> Tuple[int, float]:
+        return self.last_hypothesis
+
+    def get_map_correction(self) -> np.ndarray:
+        return np.asarray(self.map_correction)
+
+    def set_user_data(self, node_id: int, data: Optional[bytes]) -> bool:
+        """Attach/replace a node's opaque user data post-hoc (reference:
+        Rtabmap::setUserData, Rtabmap.h:168)."""
+        s = self.memory.get(node_id)
+        if s is None:
+            return False
+        s.user_data = data
+        if s.in_ltm and self.memory.db is not None:
+            self.memory.db.save_signature(s)
+        return True
+
+    def set_optimized_poses(self, poses: Dict[int, np.ndarray]) -> None:
+        """Seed/override the optimized pose cache (reference:
+        Rtabmap::setOptimizedPoses, Rtabmap.h:184 — used by the viewer's
+        manual graph edits and priors-from-file)."""
+        self.optimized_poses.update(
+            {i: np.asarray(p, np.float32) for i, p in poses.items()})
+
+    def delete_last_location(self) -> bool:
+        """Drop the most recent node entirely (reference:
+        Rtabmap::deleteLastLocation, Rtabmap.h:183)."""
+        last = self.get_last_location_id()
+        if not last:
+            return False
+        self.memory.remove_node(last)
+        self.optimized_poses.pop(last, None)
+        if self.loop_closure_id == last:
+            self.loop_closure_id = 0
+        return True
+
+    def reset_memory(self) -> None:
+        """Clear everything and restart ids/sessions (reference:
+        Rtabmap::resetMemory, Rtabmap.h:176)."""
+        self.memory.clear()
+        self.optimized_poses.clear()
+        self.landmark_poses.clear()
+        self._landmark_observers.clear()
+        self.bayes.reset()
+        self.map_correction = np.asarray(T.identity())
+        self.loop_closure_id = 0
+        self.last_hypothesis = (0, 0.0)
+        self._last_pose = None
+        self.clear_path(0)
+
+    def export_poses(self, path: str, fmt: int = 0,
+                     optimized: bool = True) -> int:
+        """Write the trajectory in one of the reference's 5 formats
+        (reference: Rtabmap::exportPoses, Rtabmap.h:170-175)."""
+        from rtabmap_tpu.tools.export_poses import export_poses
+
+        poses = (self.get_optimized_poses() if optimized else
+                 {i: self.memory.get(i).pose
+                  for i in self.memory.wm + self.memory.stm})
+        export_poses(path, fmt, poses)
+        return len(poses)
+
+    def generate_dot_graph(self, path: str) -> int:
+        """GraphViz DOT dump of the pose graph (reference:
+        Rtabmap::generateDOTGraph, Rtabmap.h:169). Loop closures render
+        as dashed red edges, landmarks as boxes."""
+        from rtabmap_tpu.memory.memory import LINK_NEIGHBOR
+
+        poses, links = self.get_graph()
+        n = 0
+        with open(path, "w") as fp:
+            fp.write("graph map {\n  node [shape=circle];\n")
+            for i in sorted(poses):
+                p = np.asarray(poses[i])[:, 3]
+                shape = "box" if i < 0 else "circle"
+                fp.write(f'  n{abs(i)} [shape={shape}, '
+                         f'pos="{p[0]:.2f},{p[1]:.2f}!", '
+                         f'label="{i}"];\n')
+            seen = set()
+            for lk in links:
+                key = (min(lk.from_id, lk.to_id), max(lk.from_id, lk.to_id))
+                if key in seen:
+                    continue
+                seen.add(key)
+                style = ("" if lk.type == LINK_NEIGHBOR
+                         else ' [style=dashed, color=red]')
+                fp.write(f"  n{abs(lk.from_id)} -- n{abs(lk.to_id)}{style};\n")
+                n += 1
+            fp.write("}\n")
+        return n
+
+    def dump_prediction(self, path: str) -> None:
+        """Write the dense Bayes prediction matrix over resident nodes
+        (reference: Rtabmap::dumpPrediction, Rtabmap.h:177 →
+        BayesFilter::generatePrediction)."""
+        mem = self.memory
+        links = []
+        for i in mem.wm:
+            s = mem.get(i)
+            if s.slot < 0:
+                continue
+            for j, lk in s.links.items():
+                o = mem.get(j)
+                if o is not None and o.slot >= 0 and lk.type == LINK_NEIGHBOR:
+                    links.append((s.slot, o.slot))
+        depth = self.bayes.kernel.shape[0] - 2
+        nbr_idx, nbr_margin = BF.build_neighbor_table(
+            links, mem.node_capacity, depth=min(depth, 8),
+            max_neighbors=2 * min(depth, 8) + 1)
+        wm_valid = np.zeros((mem.node_capacity,), bool)
+        for i in mem.wm:
+            s = mem.get(i)
+            if s.slot >= 0:
+                wm_valid[s.slot] = True
+        P = BF.prediction_matrix(nbr_idx, nbr_margin, wm_valid,
+                                 np.asarray(self.bayes.kernel),
+                                 float(self.bayes.vp_prior))
+        np.savetxt(path, P, fmt="%.6f")
+
     def write_log_files(self, directory: str):
         """Dump the per-tick statistics history as CSV (reference:
         Rtabmap::setupLogFiles LogF.txt/LogI.txt, Rtabmap.cpp:195 — float

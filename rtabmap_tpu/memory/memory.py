@@ -310,6 +310,26 @@ class Memory:
             self.remove_link(sid, j)
         del self.signatures[sid]
 
+    def remove_node(self, sid: int):
+        """delete_signature + STM/WM bookkeeping (reference:
+        Memory::deleteLocation, used by Rtabmap::deleteLastLocation)."""
+        self.delete_signature(sid)
+        if sid in self.stm:
+            self.stm.remove(sid)
+        if sid in self.wm:
+            self.wm.remove(sid)
+
+    def clear(self):
+        """Drop all resident state and restart sessions (reference:
+        Memory::init(clear) path behind Rtabmap::resetMemory). The
+        database connection (if any) is kept; new nodes get fresh ids in
+        a new map session."""
+        for sid in list(self.signatures):
+            self.remove_node(sid)
+        self.stm.clear()
+        self.wm.clear()
+        self._map_id += 1
+
     def rehearsal(self, sig: Signature) -> bool:
         """Compare to the previous STM signature; on similarity >= threshold
         transfer weight (reference: Memory::rehearsal Memory.cpp:4218,
