@@ -207,3 +207,24 @@ def test_sharded_node_store_likelihood_matches_dense():
         jnp.asarray(q), jnp.asarray(st.h_words), jnp.asarray(st.h_valid),
         jnp.asarray(nw), 16, VOCAB))
     np.testing.assert_allclose(lik_sh, lik_dense, rtol=1e-5, atol=1e-6)
+
+
+def test_multihost_meshes_single_process():
+    """multihost helpers degrade gracefully to 1 process / N virtual
+    devices; sharded kernels accept the resulting meshes."""
+    import numpy as np
+    import jax.numpy as jnp
+    from rtabmap_tpu.parallel import multihost as MH
+    from rtabmap_tpu.parallel.sharded import sharded_knn2
+
+    info = MH.process_info()
+    assert info["process_count"] == 1 and info["global_devices"] == 8
+    mesh = MH.global_mesh()
+    assert mesh.shape["shard"] == 8
+    m2 = MH.slice_mesh()
+    assert m2.shape["dp"] == 1 and m2.shape["shard"] == 8
+
+    rng = np.random.RandomState(0)
+    slab = jnp.asarray(np.where(rng.rand(64, 32) > 0.5, 1, -1), jnp.int8)
+    d, i = sharded_knn2(mesh, slab[:8], slab, jnp.ones(64, bool))
+    assert (np.asarray(i)[:, 0] == np.arange(8)).all()  # self-match
