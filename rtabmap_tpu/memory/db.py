@@ -412,6 +412,19 @@ class Database:
         with self._lock:
             return [r[0] for r in self._conn.execute("SELECT id FROM Node ORDER BY id")]
 
+    def delete_link(self, from_id: int, to_id: int) -> None:
+        """Remove a persisted edge, both directions (used when the engine
+        rejects/repairs a closure so it stays gone after resume)."""
+        self._submit(self._delete_link_now, from_id, to_id)
+
+    def _delete_link_now(self, from_id: int, to_id: int) -> None:
+        with self._lock:
+            self._conn.execute(
+                "DELETE FROM Link WHERE (from_id=? AND to_id=?)"
+                " OR (from_id=? AND to_id=?)",
+                (from_id, to_id, to_id, from_id))
+            self._conn.commit()
+
     def all_links(self):
         from rtabmap_tpu.memory.memory import Link
 

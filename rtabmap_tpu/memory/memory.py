@@ -272,6 +272,11 @@ class Memory:
             self.signatures[from_id].links.pop(to_id, None)
         if to_id in self.signatures:
             self.signatures[to_id].links.pop(from_id, None)
+        # purge the persisted rows too — re-saving a signature upserts its
+        # remaining links but never deletes, so a removed closure would
+        # resurrect on resume
+        if self.db is not None:
+            self.db.delete_link(from_id, to_id)
 
     def remove_virtual_links(self, node_id: int):
         """Drop all kVirtualClosure links touching a node (reference:

@@ -871,6 +871,80 @@ def tool_images_joiner(argv: List[str]):
     return n
 
 
+def tool_db_edit(argv: List[str]):
+    """Offline map-store inspection/editing — the engine-facing surface of
+    the reference's DatabaseViewer (guilib DatabaseViewer.cpp: graph view,
+    constraint add/remove, link refining, label editing), as a CLI.
+
+    Usage:
+      db_edit <db> nodes                     list nodes (pose/weight/label)
+      db_edit <db> links [type]              list links (optionally by type)
+      db_edit <db> add_link <from> <to>      visual-register + add closure
+      db_edit <db> remove_link <from> <to>   delete a constraint
+      db_edit <db> refine_links              scan-ICP refine all closures
+      db_edit <db> set_label <id> <label>
+      db_edit <db> dot <out.dot>             GraphViz export
+    All edit commands re-optimize and persist.
+    """
+    from rtabmap_tpu.engine.rtabmap import Rtabmap
+    from rtabmap_tpu.geometry import camera as C
+    from rtabmap_tpu.memory.db import Database
+    from rtabmap_tpu.utils.params import Parameters
+
+    params, rest = Parameters.parse_arguments(argv)
+    path, cmd = rest[0], rest[1]
+    db = Database(path)
+    if cmd == "nodes":
+        out = []
+        for sid in db.all_node_ids():
+            s = db.load_signature(sid)
+            if s is None:
+                continue
+            p = np.asarray(s.pose)[:, 3]
+            out.append({"id": sid, "map": s.map_id, "weight": s.weight,
+                        "label": s.label,
+                        "xyz": [round(float(v), 3) for v in p]})
+        print(json.dumps(out, indent=1))
+        db.close()
+        return out
+    if cmd == "links":
+        links = db.all_links()
+        if len(rest) > 2:
+            links = [l for l in links if l.type == int(rest[2])]
+        out = [{"from": l.from_id, "to": l.to_id, "type": l.type}
+               for l in links]
+        print(json.dumps(out, indent=1))
+        db.close()
+        return out
+
+    cam = C.CameraModel.make(300.0, 300.0, 160.0, 120.0, 320, 240)
+    slam = Rtabmap.load(db, cam, params, new_session=False)
+    result = None
+    if cmd == "add_link":
+        result = slam.add_user_link(int(rest[2]), int(rest[3]))
+        print(f"add_link: {'accepted' if result else 'rejected'}")
+    elif cmd == "remove_link":
+        slam.memory.remove_link(int(rest[2]), int(rest[3]))
+        from rtabmap_tpu.utils.logging import Statistics
+        slam._optimize(Statistics(), [])
+        result = True
+        print("removed")
+    elif cmd == "refine_links":
+        result = slam.refine_links()
+        print(f"refined {result} links")
+    elif cmd == "set_label":
+        result = slam.set_label(int(rest[2]), rest[3])
+        print(f"set_label: {result}")
+    elif cmd == "dot":
+        result = slam.generate_dot_graph(rest[2])
+        print(f"wrote {result} edges -> {rest[2]}")
+    else:
+        raise SystemExit(f"unknown db_edit command {cmd}")
+    slam.close()
+    db.close()
+    return result
+
+
 def tool_wifi_mapping(argv: List[str]):
     """User-data mapping example (reference: examples/WifiMapping).
     Usage: wifi_mapping [out_dir] [n_frames]"""
@@ -906,6 +980,7 @@ TOOLS = {
     "matcher": tool_matcher,
     "lidar_mapping": tool_lidar_mapping,
     "wifi_mapping": tool_wifi_mapping,
+    "db_edit": tool_db_edit,
 }
 
 

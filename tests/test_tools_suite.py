@@ -209,3 +209,32 @@ def test_wifi_mapping_example(tmp_path):
     for _, x, y, z, dbm in rows:
         expect = rssi_at([x, y, z], ap)
         assert abs(dbm - expect) < 3.0  # optimized pose ~ render pose
+
+
+def test_db_edit_tool(tmp_path):
+    """DatabaseViewer edit surface as a CLI: list, remove_link (persists
+    the deletion through resume), set_label, dot export."""
+    import json
+    import numpy as np
+    from rtabmap_tpu.memory.db import Database
+    from rtabmap_tpu.tools.cli import tool_db_edit
+    from tests.test_tools import make_tum_dir
+    from rtabmap_tpu.tools.cli import tool_rgbd_dataset
+
+    root = make_tum_dir(tmp_path, n=8)
+    db_path = str(tmp_path / "m.db")
+    tool_rgbd_dataset(["--Rtabmap/DetectionRate", "0", root, db_path])
+
+    nodes = tool_db_edit([db_path, "nodes"])
+    assert len(nodes) == 8
+    links = tool_db_edit([db_path, "links"])
+    assert len(links) >= 7
+    # label + dot
+    assert tool_db_edit([db_path, "set_label", str(nodes[0]["id"]), "door"])
+    dot = str(tmp_path / "g.dot")
+    assert tool_db_edit([db_path, "dot", dot]) > 0
+    # remove a neighbor link and verify it stays removed in the store
+    f, t = links[0]["from"], links[0]["to"]
+    tool_db_edit([db_path, "remove_link", str(f), str(t)])
+    links2 = tool_db_edit([db_path, "links"])
+    assert not any({l["from"], l["to"]} == {f, t} for l in links2)
