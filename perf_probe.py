@@ -117,6 +117,26 @@ def main():
     ms = timeit(kfn, (q, slab), rounds=10)
     res["vocab_2nn_512q_131k_ms"] = round(ms, 3)
 
+    # ---- fleet loop-closure tick (32 sessions, serving shape)
+    from rtabmap_tpu.bayes import filter as BF
+    from rtabmap_tpu.parallel import fleet as FL
+
+    B, K, W2, N2 = 32, 512, 131072, 1024
+    st = FL.init_fleet(B, N2, K, W2)
+    st = st._replace(
+        node_words=jnp.asarray(rng.randint(0, W2, (B, N2, K)), jnp.int32),
+        node_valid=jnp.ones((B, N2), bool),
+        word_nw=jnp.asarray(rng.randint(1, 9, (B, W2)), jnp.float32))
+    slab2 = jnp.asarray(np.where(rng.rand(W2, 256) > 0.5, 1, -1), jnp.int8)
+    descs = jnp.asarray(np.where(rng.rand(B, K, 256) > 0.5, 1, -1), jnp.int8)
+    kern = jnp.asarray(BF.DEFAULT_PREDICTION_LC)
+    args_f = (st, descs, jnp.ones((B, K), bool), slab2,
+              jnp.ones((W2,), bool), kern, jnp.float32(0.9))
+    ms = timeit(lambda *a: FL.fleet_tick(*a, vocab_cap=W2)[1], args_f,
+                rounds=5)
+    res["fleet_tick_32sess_131kvocab_ms"] = round(ms, 3)
+    res["fleet_ticks_per_s_per_chip"] = round(32 * 1000.0 / ms, 1)
+
     res["platform"] = jax.devices()[0].platform
     print(json.dumps(res))
 
