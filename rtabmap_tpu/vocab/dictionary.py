@@ -158,10 +158,18 @@ def tfidf_likelihood(query_words, node_words, node_valid, word_nw, n_places, voc
     nw = jnp.maximum(word_nw, 0.0)
     logNnw = jnp.where(nw > 0, jnp.log10(jnp.maximum(n_places, 1.0) / jnp.maximum(nw, 1.0)), 0.0)
     qw = jnp.where(query_words >= 0, query_words, W)
-    ind = jnp.zeros((W + 1,), jnp.float32).at[qw].set(logNnw[jnp.clip(qw, 0, W - 1)], mode="drop")
-    ind = ind.at[W].set(0.0)
-    nwj = jnp.where(node_words >= 0, node_words, W)
-    contrib = ind[nwj]                       # (N,K)
+    # TPU form: a (N,K) gather from the (W,) weight table serializes on
+    # the scalar path (~6 ms/session at W=131k) — instead dedupe the <=K
+    # query words and contract node word ids against them with a fused
+    # compare*weight reduce (VPU, no (N,K,Kq) materialization): ~20x.
+    qs = jnp.sort(qw)                                      # (Kq,) W = pad
+    first = jnp.concatenate([jnp.ones((1,), bool), qs[1:] != qs[:-1]])
+    wq = jnp.where(first & (qs < W),
+                   logNnw[jnp.clip(qs, 0, W - 1)], 0.0)    # (Kq,)
+    nwj = jnp.where(node_words >= 0, node_words, -1)
+    contrib = jnp.sum(
+        (nwj[:, :, None] == qs[None, None, :]) * wq[None, None, :],
+        axis=-1)                                           # (N,K) fused
     ni = jnp.sum(node_words >= 0, axis=-1)   # words per node
     lik = jnp.sum(contrib, axis=-1) / jnp.maximum(ni, 1)
     return jnp.where(node_valid & (ni > 0), lik, 0.0)
