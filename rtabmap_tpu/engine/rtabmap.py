@@ -1385,6 +1385,8 @@ class Rtabmap:
         if not last:
             return False
         self.memory.remove_node(last)
+        if self.memory.db is not None:
+            self.memory.db.delete_node(last)
         self.optimized_poses.pop(last, None)
         if self.loop_closure_id == last:
             self.loop_closure_id = 0

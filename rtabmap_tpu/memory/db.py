@@ -412,6 +412,20 @@ class Database:
         with self._lock:
             return [r[0] for r in self._conn.execute("SELECT id FROM Node ORDER BY id")]
 
+    def delete_node(self, sid: int) -> None:
+        """Remove a node's rows entirely (Node/Data/Statistics + touching
+        links) so a deleted location stays deleted after resume."""
+        self._submit(self._delete_node_now, sid)
+
+    def _delete_node_now(self, sid: int) -> None:
+        with self._lock:
+            for q in ("DELETE FROM Node WHERE id=?",
+                      "DELETE FROM Data WHERE id=?",
+                      "DELETE FROM Link WHERE from_id=? OR to_id=?",
+                      "DELETE FROM Statistics WHERE id=?"):
+                self._conn.execute(q, (sid, sid) if "Link" in q else (sid,))
+            self._conn.commit()
+
     def delete_link(self, from_id: int, to_id: int) -> None:
         """Remove a persisted edge, both directions (used when the engine
         rejects/repairs a closure so it stays gone after resume)."""

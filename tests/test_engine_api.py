@@ -84,3 +84,32 @@ def test_delete_last_and_reset(engine):
     assert engine.get_total_mem_size() == 0
     assert engine.get_wm_size() == 0 and engine.get_stm_size() == 0
     assert float(np.asarray(engine.bayes.posterior)[-1]) == 1.0
+
+
+def test_delete_last_location_persists(tmp_path):
+    """deleteLastLocation must also purge the store rows (node would
+    otherwise resurrect on resume)."""
+    import jax.numpy as jnp
+    from rtabmap_tpu.geometry import transform as T
+    from rtabmap_tpu.memory.db import Database
+
+    cam = C.CameraModel.make(300.0, 300.0, 160.0, 120.0, 320, 240)
+    p = Parameters().set("Rtabmap/DetectionRate", 0)
+    db = Database(str(tmp_path / "d.db"))
+    slam = Rtabmap(cam, p, db=db, node_capacity=64, words_per_frame=128)
+    extract = jax.jit(lambda g, d: extract_features(g, d, cam, 128))
+    poses = S.loop_trajectory(48)[:4]
+    for i in range(4):
+        g, d = S.render(poses[i], cam)
+        rel = np.asarray(T.relative(jnp.asarray(poses[0]),
+                                    jnp.asarray(poses[i])))
+        slam.process(extract(g, d), rel, np.eye(6) * 1e-4, stamp=i * 0.1)
+    last = slam.get_last_location_id()
+    slam.close()  # persist all 4
+    assert slam.delete_last_location()
+    db.flush()
+    db.close()
+    db2 = Database(str(tmp_path / "d.db"), async_writes=False)
+    assert last not in db2.all_node_ids()
+    assert not any(last in (l.from_id, l.to_id) for l in db2.all_links())
+    db2.close()
