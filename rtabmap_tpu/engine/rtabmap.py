@@ -1447,6 +1447,45 @@ class Rtabmap:
             fp.write("}\n")
         return n
 
+    def get_signature_copy(self, node_id: int, with_words: bool = True,
+                           with_scan: bool = False,
+                           with_user_data: bool = False,
+                           with_grid: bool = False,
+                           with_global_descriptors: bool = False):
+        """Detached copy of a node, loading from LTM if needed
+        (reference: Rtabmap::getSignatureCopy, Rtabmap.h:185)."""
+        import copy
+
+        s = self.memory.get(node_id)
+        if s is None and self.memory.db is not None:
+            s = self.memory.db.load_signature(node_id)
+        if s is None:
+            return None
+        out = copy.copy(s)
+        out.links = dict(s.links)
+        if not with_words:
+            out.word_ids = out.desc = out.uv = out.pts3d = out.valid3d = None
+        if not with_scan:
+            out.scan = None
+        if not with_user_data:
+            out.user_data = None
+        if not with_grid:
+            out.grid = None
+        if not with_global_descriptors:
+            out.global_desc = None
+        return out
+
+    def get_3d_map(self, optimized: bool = True, global_map: bool = True):
+        """(signatures, poses, constraints) of the current graph
+        (reference: Rtabmap::get3DMap/getGraph, Rtabmap.h:188-200)."""
+        poses, links = self.memory.get_constraints(
+            session_only=not global_map)
+        if optimized:
+            poses = {i: self.optimized_poses.get(i, p)
+                     for i, p in poses.items()}
+        sigs = {i: self.memory.get(i) for i in poses}
+        return sigs, {i: np.asarray(p) for i, p in poses.items()}, links
+
     def dump_prediction(self, path: str) -> None:
         """Write the dense Bayes prediction matrix over resident nodes
         (reference: Rtabmap::dumpPrediction, Rtabmap.h:177 →

@@ -74,6 +74,20 @@ def test_export_and_dot_and_prediction(engine, tmp_path):
             assert abs(P[:, s.slot].sum() - 1.0) < 1e-6
 
 
+def test_signature_copy_and_3d_map(engine):
+    last = engine.get_last_location_id()
+    s = engine.get_signature_copy(last, with_words=True)
+    assert s is not None and s.word_ids is not None
+    s2 = engine.get_signature_copy(last, with_words=False)
+    assert s2.word_ids is None and s2.desc is None
+    # mutating the copy's links must not touch the live node
+    s.links[424242] = None
+    assert 424242 not in engine.memory.get(last).links
+    sigs, poses, links = engine.get_3d_map()
+    assert last in poses and sigs[last] is not None
+    assert len(links) >= len(poses) - 2
+
+
 def test_delete_last_and_reset(engine):
     before = engine.get_total_mem_size()
     last = engine.get_last_location_id()
@@ -113,3 +127,4 @@ def test_delete_last_location_persists(tmp_path):
     assert last not in db2.all_node_ids()
     assert not any(last in (l.from_id, l.to_id) for l in db2.all_links())
     db2.close()
+
