@@ -42,3 +42,41 @@ def test_metrics_alignment_invariance():
     moved = jnp.stack([T.compose(offset, poses[i]) for i in range(16)])
     # ATE is invariant to a global rigid transform of the whole trajectory
     assert metrics.ate_rmse(np.asarray(moved), np.asarray(poses)) < 1e-5
+
+
+def test_local_ba_improves_or_preserves(tmp_path=None):
+    """OdomF2M/BundleAdjustment: window BA must not hurt a clean run and
+    the refined trajectory stays metrically consistent (reference:
+    OdometryF2M.cpp:345-475 local sba)."""
+    import jax
+    import numpy as np
+
+    from rtabmap_tpu.core.frame import extract_features
+    from rtabmap_tpu.datasets import synthetic as S
+    from rtabmap_tpu.geometry import camera as C
+    from rtabmap_tpu.geometry import transform as T
+    from rtabmap_tpu.odometry.f2m import OdometryF2M
+    from rtabmap_tpu.utils.metrics import ate_rmse
+    from rtabmap_tpu.utils.params import Parameters
+    import jax.numpy as jnp
+
+    cam = C.CameraModel.make(300.0, 300.0, 160.0, 120.0, 320, 240)
+    poses = S.loop_trajectory(96)[:16]
+    extract = jax.jit(lambda g, d: extract_features(g, d, cam, 256))
+    ates = {}
+    for ba in (0, 1):
+        p = (Parameters().set("OdomF2M/BundleAdjustment", ba)
+             .set("Odom/KeyFrameThr", 0.9))  # force frequent keyframes
+        odom = OdometryF2M(cam, p, max_features=256)
+        est, gt = [], []
+        for i in range(16):
+            g, d = S.render(poses[i], cam)
+            pose, cov, info = odom.process(extract(g, d))
+            assert pose is not None, f"lost at {i} (ba={ba})"
+            est.append(np.asarray(pose))
+            gt.append(np.asarray(T.relative(jnp.asarray(poses[0]),
+                                            jnp.asarray(poses[i]))))
+        ates[ba] = ate_rmse(np.stack(est), np.stack(gt))
+    # BA path must work and stay within 1.5x of the plain run (usually
+    # better; synthetic depth is near-perfect so both are tiny)
+    assert ates[1] < max(1.5 * ates[0], 0.05), ates
