@@ -80,3 +80,53 @@ def test_matcher_tool(tmp_path):
     out = tool_matcher([a, b])
     assert out["matches"] > 20
     assert out["inliers"] > 15 and out["ok"]
+
+
+def test_kitti_dataset_tool_synthetic(tmp_path):
+    """KITTI-layout stereo benchmark end-to-end: synthetic stereo pair
+    rendering -> reader -> stereo VO -> KITTI t_err/r_err + ATE
+    (reference: tools/KittiDataset/main.cpp)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from PIL import Image
+
+    from rtabmap_tpu.datasets import synthetic as S
+    from rtabmap_tpu.geometry import camera as C
+    from rtabmap_tpu.geometry import transform as T
+    from rtabmap_tpu.tools.cli import tool_kitti_dataset
+
+    cam = C.CameraModel.make(300.0, 300.0, 160.0, 120.0, 320, 240)
+    baseline = 0.12
+    n = 8
+    seq = tmp_path / "00"
+    (seq / "image_0").mkdir(parents=True)
+    (seq / "image_1").mkdir()
+    poses = S.loop_trajectory(64)[:n]
+    shift = np.eye(3, 4, dtype=np.float32)
+    shift[0, 3] = baseline
+    gt_rows = []
+    for i in range(n):
+        g0, _ = S.render(poses[i], cam)
+        right_pose = np.asarray(T.compose(jnp.asarray(poses[i]),
+                                          jnp.asarray(shift)))
+        g1, _ = S.render(right_pose, cam)
+        Image.fromarray((np.asarray(g0) * 255).astype(np.uint8)).save(
+            seq / "image_0" / f"{i:06d}.png")
+        Image.fromarray((np.asarray(g1) * 255).astype(np.uint8)).save(
+            seq / "image_1" / f"{i:06d}.png")
+        rel = np.asarray(T.relative(jnp.asarray(poses[0]),
+                                    jnp.asarray(poses[i])))
+        gt_rows.append(rel.reshape(-1))
+    (seq / "times.txt").write_text("\n".join(f"{0.1*i:.6f}" for i in range(n)))
+    (seq / "calib.txt").write_text(
+        "P0: 300 0 160 0 0 300 120 0 0 0 1 0\n"
+        f"P1: 300 0 160 {-300*baseline} 0 300 120 0 0 0 1 0\n")
+    poses_file = str(tmp_path / "00.txt")
+    np.savetxt(poses_file, np.stack(gt_rows))
+
+    out = tool_kitti_dataset(["--Rtabmap/DetectionRate", "0",
+                              str(seq), poses_file])
+    assert out["frames"] == n and out["lost"] == 0
+    assert out["ate_odom"] < 0.35
+    assert "kitti_t_err_pct" in out
