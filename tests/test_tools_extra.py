@@ -130,3 +130,41 @@ def test_kitti_dataset_tool_synthetic(tmp_path):
     assert out["frames"] == n and out["lost"] == 0
     assert out["ate_odom"] < 0.35
     assert "kitti_t_err_pct" in out
+
+
+def test_euroc_reader_layout(tmp_path):
+    """EuRoC ASL directory parsing: cam0/cam1 CSV streams + nearest
+    ground-truth association (reference: tools/EurocDataset/main.cpp)."""
+    import numpy as np
+    from PIL import Image
+
+    from rtabmap_tpu.datasets.readers import EurocDataset
+
+    root = tmp_path / "MH01"
+    for c in ("cam0", "cam1"):
+        (root / "mav0" / c / "data").mkdir(parents=True)
+    (root / "mav0" / "state_groundtruth_estimate0").mkdir()
+    rng = np.random.RandomState(0)
+    rows = ["#timestamp,filename"]
+    gt_rows = ["#ts,x,y,z,qw,qx,qy,qz"]
+    for i in range(5):
+        ts = 1403636579763555584 + i * 50_000_000
+        name = f"{ts}.png"
+        img = (rng.rand(48, 75) * 255).astype(np.uint8)
+        for c in ("cam0", "cam1"):
+            Image.fromarray(img).save(root / "mav0" / c / "data" / name)
+        rows.append(f"{ts},{name}")
+        # gt offset by 3ms (association must still find it)
+        gt_rows.append(f"{ts + 3_000_000},{0.1*i},0,0,1,0,0,0")
+    (root / "mav0" / "cam0" / "data.csv").write_text("\n".join(rows))
+    (root / "mav0" / "cam1" / "data.csv").write_text("\n".join(rows))
+    (root / "mav0" / "state_groundtruth_estimate0" / "data.csv").write_text(
+        "\n".join(gt_rows))
+
+    ds = EurocDataset(str(root))
+    assert len(ds) == 5
+    frames = list(ds)
+    assert all(f.right is not None for f in frames)
+    assert all(f.gt_pose is not None for f in frames)
+    assert abs(frames[3].gt_pose[0, 3] - 0.3) < 1e-5
+    assert ds.camera.width == 752 and abs(ds.stereo.baseline - 0.11) < 1e-6
