@@ -397,3 +397,93 @@ def detect_and_describe(gray, max_kp: int, use_grid: bool = True,
     if subpixel:
         kps = refine_subpixel(score, kps)
     return kps, desc
+
+
+# --------------------------------------------- SIFT-family float descriptor
+
+
+_SIFT_CELLS = 4       # 4x4 spatial grid
+_SIFT_ORI = 8         # orientation bins
+SIFT_DIM = _SIFT_CELLS * _SIFT_CELLS * _SIFT_ORI   # 128
+
+
+def _sift_spatial_weights(n_bins: int = _N_ANGLE_BINS) -> np.ndarray:
+    """Per-orientation-bin spatial pooling matrices (n_bins, patch^2, 16):
+    rotated, Gaussian-weighted bilinear assignment of each patch pixel to
+    the 4x4 descriptor grid. The float-descriptor analogue of
+    `_binned_test_matrices` — per-keypoint pooling becomes one matmul."""
+    out = np.zeros((n_bins, _PATCH * _PATCH, _SIFT_CELLS * _SIFT_CELLS),
+                   np.float32)
+    c = (_PATCH - 1) / 2.0
+    half = _PATCH / 2.0
+    sigma = 0.5 * _PATCH
+    for b in range(n_bins):
+        ang = 2.0 * np.pi * b / n_bins
+        ca, sa = np.cos(ang), np.sin(ang)
+        for py in range(_PATCH):
+            for px in range(_PATCH):
+                x, y = px - c, py - c
+                # rotate into the keypoint frame
+                rx = ca * x + sa * y
+                ry = -sa * x + ca * y
+                g = np.exp(-(rx * rx + ry * ry) / (2 * sigma * sigma))
+                # continuous cell coords in [0,4)
+                cx = (rx + half) / _PATCH * _SIFT_CELLS - 0.5
+                cy = (ry + half) / _PATCH * _SIFT_CELLS - 0.5
+                x0, y0 = int(np.floor(cx)), int(np.floor(cy))
+                fx, fy = cx - x0, cy - y0
+                for dy, wy in ((0, 1 - fy), (1, fy)):
+                    for dx, wx in ((0, 1 - fx), (1, fx)):
+                        gx, gy = x0 + dx, y0 + dy
+                        if 0 <= gx < _SIFT_CELLS and 0 <= gy < _SIFT_CELLS:
+                            out[b, py * _PATCH + px,
+                                gy * _SIFT_CELLS + gx] += g * wy * wx
+    return out
+
+
+_SIFT_SPATIAL = _sift_spatial_weights()
+
+
+def describe_sift(gray_blur, kps: Keypoints):
+    """SIFT-family gradient-histogram descriptor: (K, 128) float32,
+    L2-normalized with the standard 0.2 clip + renormalize.
+
+    Capability parity: the reference's float-descriptor detectors (SIFT/
+    SURF/DAISY/KAZE slots of Feature2D, Features2d.cpp) — one native
+    gradient-histogram descriptor covers the float family; learned floats
+    come from models/superpoint.py. TPU formulation: per-keypoint patch
+    gradients (batched shifts), soft orientation binning relative to the
+    keypoint angle (VPU), and rotated spatial pooling as a single
+    (K, patch^2) x (patch^2, 16) matmul selected by orientation bin."""
+    K = kps.uv.shape[0]
+    patches = extract_patches(gray_blur, kps.uv)            # (K,P,P)
+    gx = jnp.pad(patches[:, :, 2:] - patches[:, :, :-2],
+                 ((0, 0), (0, 0), (1, 1)))
+    gy = jnp.pad(patches[:, 2:, :] - patches[:, :-2, :],
+                 ((0, 0), (1, 1), (0, 0)))
+    mag = jnp.sqrt(gx * gx + gy * gy + 1e-12)
+    theta = jnp.arctan2(gy, gx) - kps.angle[:, None, None]  # kp frame
+    # soft assignment to _SIFT_ORI orientation bins
+    t = jnp.mod(theta, 2.0 * np.pi) / (2.0 * np.pi) * _SIFT_ORI
+    b0 = jnp.floor(t)
+    f = t - b0
+    b0 = b0.astype(jnp.int32) % _SIFT_ORI
+    b1 = (b0 + 1) % _SIFT_ORI
+    P2 = _PATCH * _PATCH
+    # (K, P2, ORI) orientation weights, built with one-hot compare-reduce
+    obins = jnp.arange(_SIFT_ORI)
+    w_ori = ((b0.reshape(K, P2, 1) == obins) * ((1.0 - f).reshape(K, P2, 1))
+             + (b1.reshape(K, P2, 1) == obins) * f.reshape(K, P2, 1))
+    w_ori = w_ori * mag.reshape(K, P2, 1)
+    # spatial pooling matrix by keypoint orientation bin
+    nb = _N_ANGLE_BINS
+    two_pi = 2.0 * np.pi
+    bins = jnp.round(jnp.mod(kps.angle, two_pi) / two_pi * nb).astype(jnp.int32) % nb
+    S = jnp.asarray(_SIFT_SPATIAL)                          # (nb,P2,16)
+    Wsp = S[bins]                                           # (K,P2,16)
+    desc = jnp.einsum("kpc,kpo->kco", Wsp, w_ori)           # (K,16,8)
+    desc = desc.reshape(K, SIFT_DIM)
+    desc = desc / jnp.maximum(jnp.linalg.norm(desc, axis=-1, keepdims=True), 1e-9)
+    desc = jnp.minimum(desc, 0.2)
+    desc = desc / jnp.maximum(jnp.linalg.norm(desc, axis=-1, keepdims=True), 1e-9)
+    return jnp.where(kps.valid[:, None], desc, 0.0)

@@ -32,6 +32,20 @@ def hamming_matrix(a, b):
     return (DESC_DIM - similarity_matrix(a, b)) * 0.5
 
 
+def l2_matrix(a, b):
+    """Squared-L2 distances of float descriptors via one matmul
+    (|a|^2 + |b|^2 - 2ab) — the float-descriptor (SIFT-family /
+    SuperPoint) metric."""
+    sim = jnp.dot(a.astype(jnp.float32), b.astype(jnp.float32).T)
+    na = jnp.sum(a.astype(jnp.float32) ** 2, axis=-1)
+    nb = jnp.sum(b.astype(jnp.float32) ** 2, axis=-1)
+    return jnp.maximum(na[:, None] + nb[None, :] - 2.0 * sim, 0.0)
+
+
+def distance_matrix(a, b, metric: str = "hamming"):
+    return hamming_matrix(a, b) if metric == "hamming" else l2_matrix(a, b)
+
+
 class Matches(NamedTuple):
     """Fixed-size match set from a's perspective."""
 
@@ -45,14 +59,16 @@ def match_nndr(desc_a, valid_a, desc_b, valid_b, nndr: float = 0.8,
                max_dist: Optional[float] = None,
                guess_uv: Optional[jnp.ndarray] = None,
                uv_b: Optional[jnp.ndarray] = None,
-               window: float = 0.0) -> Matches:
+               window: float = 0.0, metric: str = "hamming") -> Matches:
     """Nearest-neighbour + Lowe ratio matching a -> b.
 
     When ``guess_uv``/``uv_b``/``window`` are given, candidates outside the
     projection window are excluded (reference's guess-projected window
     search, RegistrationVis.cpp:590-660), fused into the same masked top-2.
+    ``metric``: "hamming" for ±1 int8 descriptors, "l2" for float
+    (SIFT-family, SuperPoint) descriptors.
     """
-    d = hamming_matrix(desc_a, desc_b)  # (Ka,Kb)
+    d = distance_matrix(desc_a, desc_b, metric)  # (Ka,Kb)
     inf = jnp.float32(1e9)
     mask = valid_b[None, :]
     if window > 0.0 and guess_uv is not None and uv_b is not None:
@@ -79,10 +95,11 @@ def cross_check(m_ab: Matches, m_ba: Matches) -> jnp.ndarray:
     return m_ab.valid & m_ba.valid[m_ab.idx] & (back == ids)
 
 
-def match_nndr_bidir(desc_a, valid_a, desc_b, valid_b, nndr: float = 0.8):
-    """(m_ab, m_ba) from ONE Hamming matrix — halves the matmul + masking
+def match_nndr_bidir(desc_a, valid_a, desc_b, valid_b, nndr: float = 0.8,
+                     metric: str = "hamming"):
+    """(m_ab, m_ba) from ONE distance matrix — halves the matmul + masking
     work of calling ``match_nndr`` per direction."""
-    d = hamming_matrix(desc_a, desc_b)  # (Ka,Kb)
+    d = distance_matrix(desc_a, desc_b, metric)  # (Ka,Kb)
     inf = jnp.float32(1e9)
 
     def reduce(dm, valid_rows, valid_cols):
