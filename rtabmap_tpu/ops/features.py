@@ -372,9 +372,11 @@ def keypoints_3d_from_depth(kps: Keypoints, depth, cam, min_depth=0.1, max_depth
 def detect_and_describe(gray, max_kp: int, use_grid: bool = True,
                         grid: Tuple[int, int] = (4, 4), quality_level: float = 0.01,
                         nms_size: int = 7, subpixel: bool = True,
-                        detector: str = "gftt"):
+                        detector: str = "gftt", descriptor: str = "brief"):
     """Full single-image pipeline: score map -> NMS top-k -> orientation ->
-    rotated-BRIEF. Returns (Keypoints, desc(K,256) int8).
+    descriptor. Returns (Keypoints, desc): (K,256) ±1 int8 for
+    ``descriptor="brief"``, (K,128) float32 for ``descriptor="sift"``
+    (match with metric="l2").
 
     ``detector`` selects the response map (gftt | harris | dog | fast) —
     the TPU re-expression of the reference's Kp/DetectorStrategy factory
@@ -393,7 +395,8 @@ def detect_and_describe(gray, max_kp: int, use_grid: bool = True,
     # removes the quantization bias in wide-baseline registration.
     kps = compute_orientation(gray, kps)
     blur = im.gaussian_blur(gray, sigma=2.0, radius=4)
-    desc = describe(blur, kps)
+    desc = (describe(blur, kps) if descriptor == "brief"
+            else describe_sift(blur, kps))
     if subpixel:
         kps = refine_subpixel(score, kps)
     return kps, desc
