@@ -117,6 +117,19 @@ def main():
     ms = timeit(kfn, (q, slab), rounds=10)
     res["vocab_2nn_512q_131k_ms"] = round(ms, 3)
 
+    # ---- single-session tf-idf likelihood (engine scale)
+    from rtabmap_tpu.vocab.dictionary import tfidf_likelihood
+
+    W1, N1, K1 = 131072, 1024, 512
+    nwords = jnp.asarray(rng.randint(0, W1, (N1, K1)), jnp.int32)
+    nvalid = jnp.ones((N1,), bool)
+    nw1 = jnp.asarray(rng.randint(1, 9, (W1,)), jnp.float32)
+    qw1 = jnp.asarray(rng.randint(0, W1, (K1,)), jnp.int32)
+    lfn = jax.jit(lambda q: tfidf_likelihood(q, nwords, nvalid, nw1,
+                                             jnp.float32(N1), W1))
+    ms = timeit(lfn, (qw1,), rounds=10)
+    res["tfidf_1ksession_ms"] = round(ms, 3)
+
     # ---- fleet loop-closure tick (32 sessions, serving shape)
     from rtabmap_tpu.bayes import filter as BF
     from rtabmap_tpu.parallel import fleet as FL
