@@ -59,6 +59,29 @@ def main():
                 rounds=5)
     res["ba_local_20kf_2kpts_ms_per_iter"] = round(ms / ITER, 3)
 
+    # ---- global bundle adjustment (implicit Schur-CG, map scale)
+    from rtabmap_tpu.optim.ba import bundle_adjust_large
+
+    Ncg, Npg, Nog = 256, 50000, 500000
+    ptsg = (rng.randn(Npg, 3) * 3 + np.array([0, 0, 8])).astype(np.float32)
+    posesg = np.tile(np.eye(3, 4, dtype=np.float32), (Ncg, 1, 1))
+    posesg[:, 0, 3] = np.linspace(0, 10, Ncg)
+    cig = rng.randint(0, Ncg, Nog).astype(np.int32)
+    pig = rng.randint(0, Npg, Nog).astype(np.int32)
+    pcg_ = ptsg[pig].copy()
+    pcg_[:, 0] -= posesg[cig][:, 0, 3]
+    uvg = (pcg_[:, :2] / np.maximum(pcg_[:, 2:3], 0.5)
+           + 0.001 * rng.randn(Nog, 2)).astype(np.float32)
+    probg = BAProblem(jnp.asarray(posesg), jnp.asarray(ptsg),
+                      jnp.asarray(cig), jnp.asarray(pig), jnp.asarray(uvg),
+                      jnp.ones(Nog, bool),
+                      jnp.zeros(Ncg, bool).at[0].set(True))
+    GIT = 3
+    ms = timeit(lambda p: bundle_adjust_large(p, iters=GIT,
+                                              cg_iters=20)[0].poses,
+                (probg,), rounds=2)
+    res["ba_global_256kf_50kpts_500kobs_ms_per_iter"] = round(ms / GIT, 2)
+
     # ---- pose graph optimization (1000 nodes, loop closures)
     from rtabmap_tpu.optim.pose_graph import make_graph, optimize_dense, optimize_pcg
 

@@ -1117,7 +1117,13 @@ class Rtabmap:
             uv=jnp.asarray(np.asarray(uvn, np.float32)),
             valid=jnp.ones((len(cam_idx),), bool), fixed_cams=fixed,
         )
-        out, cost = BA.bundle_adjust(prob, iters=iters, huber=4.0 / fx)
+        # dense Schur for local sizes; implicit Schur-CG once the
+        # (Nc,Np,6,3) cross term would stop being "tiny" (map-scale BA)
+        if len(ids) * len(tracks) > 600_000:
+            out, cost = BA.bundle_adjust_large(prob, iters=iters,
+                                               huber=4.0 / fx)
+        else:
+            out, cost = BA.bundle_adjust(prob, iters=iters, huber=4.0 / fx)
         new = np.asarray(jax.vmap(T.inverse)(out.poses))
         if not np.isfinite(new).all():
             return False

@@ -128,3 +128,107 @@ def outlier_mask(problem: BAProblem, reproj_thr: float) -> jnp.ndarray:
         problem.poses[problem.cam_idx], problem.points[problem.pt_idx], problem.uv
     )
     return problem.valid & ((jnp.linalg.norm(r, axis=-1) > reproj_thr) | (depth <= 0.01))
+
+
+@partial(jax.jit, static_argnames=("iters", "cg_iters"))
+def bundle_adjust_large(problem: BAProblem, iters: int = 10,
+                        cg_iters: int = 30, damping: float = 1e-3,
+                        huber: float = 0.01) -> Tuple[BAProblem, jnp.ndarray]:
+    """Implicit-Schur LM for large problems (global BA:
+    rtabmap-globalBundleAdjustment over whole maps).
+
+    The dense path materializes the (Nc,Np,6,3) camera-point cross term —
+    fine for local BA, quadratic death at map scale. Here the reduced
+    camera system S = B - E C^-1 E^T is never formed: every S-matvec is
+    two observation-wise batched (2,6)/(2,3) Jacobian contractions +
+    scatter-adds, solved with Jacobi-preconditioned CG. Memory is
+    O(No + Nc + Np); scales to 10^4 keyframes / 10^6 points on one chip
+    and shards over the observation axis (parallel/sharded.py pattern).
+    """
+    Nc = problem.poses.shape[0]
+    Np = problem.points.shape[0]
+    ci, pi = problem.cam_idx, problem.pt_idx
+
+    def linearize(poses, points):
+        r, Jc, Jp, depth = jax.vmap(_residual_jac)(
+            poses[ci], points[pi], problem.uv)
+        ok = problem.valid & (depth > 0.01)
+        nrm = jnp.linalg.norm(r, axis=-1)
+        w = jnp.where(nrm <= huber, 1.0, huber / jnp.maximum(nrm, 1e-12)) * ok
+        return r, Jc, Jp, w
+
+    def cost(poses, points):
+        r, _, _, w = linearize(poses, points)
+        return jnp.sum(w[:, None] * r * r)
+
+    def step(state, _):
+        poses, points = state
+        r, Jc, Jp, w = linearize(poses, points)
+        Jcw = Jc * w[:, None, None]                       # (No,2,6)
+
+        B = jnp.zeros((Nc, 6, 6)).at[ci].add(
+            jnp.einsum("ori,orj->oij", Jcw, Jc))
+        C = jnp.zeros((Np, 3, 3)).at[pi].add(
+            jnp.einsum("ori,orj->oij", Jp * w[:, None, None], Jp))
+        bc = jnp.zeros((Nc, 6)).at[ci].add(jnp.einsum("ori,or->oi", Jcw, r))
+        bp = jnp.zeros((Np, 3)).at[pi].add(
+            jnp.einsum("ori,or->oi", Jp * w[:, None, None], r))
+
+        lam = damping
+        fix = problem.fixed_cams.astype(jnp.float32) * 1e8
+        B = B + jnp.eye(6)[None] * (lam + fix[:, None, None])
+        C = C + jnp.eye(3)[None] * lam
+        Cinv = L3.inv3(C)
+
+        def e_t_x(x_c):
+            """E^T x: (Np,3) = sum_obs Jp^T W Jc x[cam]."""
+            y = jnp.einsum("ori,oi->or", Jcw, x_c[ci])     # (No,2)
+            return jnp.zeros((Np, 3)).at[pi].add(
+                jnp.einsum("ori,or->oi", Jp, y))
+
+        def e_u(u_p):
+            """E u: (Nc,6) = sum_obs Jc^T W Jp u[pt]."""
+            y = jnp.einsum("ori,oi->or", Jp, u_p[pi])      # (No,2)
+            return jnp.zeros((Nc, 6)).at[ci].add(
+                jnp.einsum("ori,or->oi", Jcw, y))
+
+        def S_mv(x_c):
+            Bx = jnp.einsum("cij,cj->ci", B, x_c)
+            t = e_t_x(x_c)
+            u = jnp.einsum("pkl,pl->pk", Cinv, t)
+            return Bx - e_u(u)
+
+        v = bc - e_u(jnp.einsum("pkl,pl->pk", Cinv, bp))
+        diag = jnp.diagonal(B, axis1=1, axis2=2)           # Jacobi precond
+        Minv_d = 1.0 / jnp.maximum(diag, 1e-12)
+
+        def cg_body(carry, _):
+            x, rr, p, rz = carry
+            Ap = S_mv(p)
+            alpha = rz / jnp.maximum(jnp.sum(p * Ap), 1e-12)
+            x = x + alpha * p
+            rr = rr - alpha * Ap
+            z = Minv_d * rr
+            rz_new = jnp.sum(rr * z)
+            beta = rz_new / jnp.maximum(rz, 1e-12)
+            return (x, rr, z + beta * p, rz_new), None
+
+        z0 = Minv_d * v
+        (dxc_neg, _, _, _), _ = jax.lax.scan(
+            cg_body, (jnp.zeros((Nc, 6)), v, z0, jnp.sum(v * z0)),
+            None, length=cg_iters)
+        dxc = -dxc_neg
+        dxp = -jnp.einsum("pkl,pl->pk", Cinv, bp + e_t_x(dxc))
+
+        dxc = jnp.where(problem.fixed_cams[:, None], 0.0, dxc)
+        new_poses = jax.vmap(T.retract_left)(poses, dxc)
+        new_points = points + dxp
+        better = cost(new_poses, new_points) < cost(poses, points)
+        poses = jnp.where(better, new_poses, poses)
+        points = jnp.where(better, new_points, points)
+        return (poses, points), None
+
+    (poses, points), _ = jax.lax.scan(step, (problem.poses, problem.points),
+                                      None, length=iters)
+    out = problem._replace(poses=poses, points=points)
+    return out, cost(poses, points)

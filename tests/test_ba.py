@@ -55,3 +55,41 @@ def test_ba_outlier_mask():
     mask = BA.outlier_mask(out, reproj_thr=0.05)
     assert float(mask[:20].mean()) > 0.8      # corrupted flagged
     assert float(mask[20:].mean()) < 0.05     # clean kept
+
+
+def test_large_ba_matches_dense():
+    """Implicit-Schur CG BA converges to the dense solution on a small
+    problem (then scales where dense cannot — global BA path)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rtabmap_tpu.geometry import transform as T
+    from rtabmap_tpu.optim.ba import (BAProblem, bundle_adjust,
+                                      bundle_adjust_large)
+
+    rng = np.random.RandomState(0)
+    Nc, Np, No = 6, 120, 600
+    pts = (rng.randn(Np, 3) * 0.8 + np.array([0, 0, 5])).astype(np.float32)
+    poses = np.tile(np.eye(3, 4, dtype=np.float32), (Nc, 1, 1))
+    poses[:, 0, 3] = np.linspace(0, 0.5, Nc)
+    ci = rng.randint(0, Nc, No).astype(np.int32)
+    pi = rng.randint(0, Np, No).astype(np.int32)
+    pc = pts[pi].copy()
+    pc[:, 0] -= poses[ci][:, 0, 3]
+    uv = (pc[:, :2] / pc[:, 2:3]).astype(np.float32)
+    # perturb
+    noisy_pts = pts + 0.02 * rng.randn(Np, 3).astype(np.float32)
+    noisy_poses = poses.copy()
+    noisy_poses[1:, :3, 3] += 0.01 * rng.randn(Nc - 1, 3).astype(np.float32)
+    prob = BAProblem(jnp.asarray(noisy_poses), jnp.asarray(noisy_pts),
+                     jnp.asarray(ci), jnp.asarray(pi), jnp.asarray(uv),
+                     jnp.ones(No, bool), jnp.zeros(Nc, bool).at[0].set(True))
+    dense, cd = bundle_adjust(prob, iters=8)
+    large, cl = bundle_adjust_large(prob, iters=8, cg_iters=40)
+    assert float(cl) < 0.3 * float(
+        np.sum((uv - np.asarray(prob.uv)) ** 2) + 1e-9) or float(cl) < 1e-4
+    # both reach comparable cost and similar camera trajectories
+    assert float(cl) < 2.0 * float(cd) + 1e-6
+    d_t = np.abs(np.asarray(dense.poses)[:, :, 3]
+                 - np.asarray(large.poses)[:, :, 3]).max()
+    assert d_t < 5e-3, d_t
