@@ -400,3 +400,90 @@ class ShardedNodeStore:
 
     def slot_of(self, node_id: int):
         return self._slot_of.get(node_id, -1)
+
+
+def sharded_ba_large_step(mesh: Mesh, poses, points, cam_idx, pt_idx, uv,
+                          valid, fixed_cams, damping: float = 1e-3,
+                          huber: float = 0.01, cg_iters: int = 20,
+                          axis: str = "shard"):
+    """Distributed map-scale BA step: observation axis sharded, implicit
+    Schur-CG (no dense cross term — the multi-chip form of
+    ``optim.ba.bundle_adjust_large``). Every E/E^T matvec inside CG is a
+    shard-local Jacobian contraction + one psum; memory per chip is
+    O(No/n_shards + Nc + Np)."""
+    from rtabmap_tpu.geometry import transform as T
+    from rtabmap_tpu.ops import linalg as L3
+    from rtabmap_tpu.optim.ba import _residual_jac
+
+    Nc = poses.shape[0]
+    Np = points.shape[0]
+
+    def local(poses, points, ci, pi, uv, ok):
+        r, Jc, Jp, depth = jax.vmap(_residual_jac)(poses[ci], points[pi], uv)
+        nrm = jnp.linalg.norm(r, axis=-1)
+        w = (jnp.where(nrm <= huber, 1.0, huber / jnp.maximum(nrm, 1e-12))
+             * (ok & (depth > 0.01)))
+        Jcw = Jc * w[:, None, None]
+        Jpw = Jp * w[:, None, None]
+
+        def red(x):
+            return jax.lax.psum(x, axis)
+
+        B = red(jnp.zeros((Nc, 6, 6)).at[ci].add(
+            jnp.einsum("ori,orj->oij", Jcw, Jc)))
+        C = red(jnp.zeros((Np, 3, 3)).at[pi].add(
+            jnp.einsum("ori,orj->oij", Jpw, Jp)))
+        bc = red(jnp.zeros((Nc, 6)).at[ci].add(
+            jnp.einsum("ori,or->oi", Jcw, r)))
+        bp = red(jnp.zeros((Np, 3)).at[pi].add(
+            jnp.einsum("ori,or->oi", Jpw, r)))
+
+        fix = fixed_cams.astype(jnp.float32) * 1e8
+        B = B + jnp.eye(6)[None] * (damping + fix[:, None, None])
+        C = C + jnp.eye(3)[None] * damping
+        Cinv = L3.inv3(C)
+
+        def e_t_x(x_c):
+            y = jnp.einsum("ori,oi->or", Jcw, x_c[ci])
+            return red(jnp.zeros((Np, 3)).at[pi].add(
+                jnp.einsum("ori,or->oi", Jp, y)))
+
+        def e_u(u_p):
+            y = jnp.einsum("ori,oi->or", Jp, u_p[pi])
+            return red(jnp.zeros((Nc, 6)).at[ci].add(
+                jnp.einsum("ori,or->oi", Jcw, y)))
+
+        def S_mv(x_c):
+            Bx = jnp.einsum("cij,cj->ci", B, x_c)
+            u = jnp.einsum("pkl,pl->pk", Cinv, e_t_x(x_c))
+            return Bx - e_u(u)
+
+        v = bc - e_u(jnp.einsum("pkl,pl->pk", Cinv, bp))
+        Minv_d = 1.0 / jnp.maximum(jnp.diagonal(B, axis1=1, axis2=2), 1e-12)
+
+        def cg_body(carry, _):
+            x, rr, p, rz = carry
+            Ap = S_mv(p)
+            alpha = rz / jnp.maximum(jnp.sum(p * Ap), 1e-12)
+            x = x + alpha * p
+            rr = rr - alpha * Ap
+            z = Minv_d * rr
+            rz_new = jnp.sum(rr * z)
+            beta = rz_new / jnp.maximum(rz, 1e-12)
+            return (x, rr, z + beta * p, rz_new), None
+
+        z0 = Minv_d * v
+        (dxc_neg, _, _, _), _ = jax.lax.scan(
+            cg_body, (jnp.zeros((Nc, 6)), v, z0, jnp.sum(v * z0)),
+            None, length=cg_iters)
+        dxc = -dxc_neg
+        dxp = -jnp.einsum("pkl,pl->pk", Cinv, bp + e_t_x(dxc))
+        dxc = jnp.where(fixed_cams[:, None], 0.0, dxc)
+        return jax.vmap(T.retract_left)(poses, dxc), points + dxp
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(axis), P(axis, None), P(axis)),
+        out_specs=(P(), P()),
+    )
+    return fn(poses, points, cam_idx, pt_idx, uv, valid)

@@ -228,3 +228,37 @@ def test_multihost_meshes_single_process():
     slab = jnp.asarray(np.where(rng.rand(64, 32) > 0.5, 1, -1), jnp.int8)
     d, i = sharded_knn2(mesh, slab[:8], slab, jnp.ones(64, bool))
     assert (np.asarray(i)[:, 0] == np.arange(8)).all()  # self-match
+
+
+def test_sharded_ba_large_matches_single_device():
+    """Implicit-Schur distributed BA step == local bundle_adjust_large's
+    first step (obs axis sharded over the mesh)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from rtabmap_tpu.optim.ba import BAProblem, bundle_adjust_large
+    from rtabmap_tpu.parallel.sharded import make_mesh, sharded_ba_large_step
+
+    rng = np.random.RandomState(1)
+    Nc, Np, No = 4, 64, 64 * 8
+    pts = (rng.randn(Np, 3) + np.array([0, 0, 5])).astype(np.float32)
+    poses = np.tile(np.eye(3, 4, dtype=np.float32), (Nc, 1, 1))
+    poses[:, 0, 3] = np.linspace(0, 0.3, Nc)
+    ci = rng.randint(0, Nc, No).astype(np.int32)
+    pi = rng.randint(0, Np, No).astype(np.int32)
+    pc = pts[pi].copy()
+    pc[:, 0] -= poses[ci][:, 0, 3]
+    uv = (pc[:, :2] / pc[:, 2:3] + 0.002 * rng.randn(No, 2)).astype(np.float32)
+    noisy = pts + 0.02 * rng.randn(Np, 3).astype(np.float32)
+    fixed = jnp.zeros((Nc,), bool).at[0].set(True)
+
+    mesh = make_mesh(8)
+    sp, spt = sharded_ba_large_step(
+        mesh, jnp.asarray(poses), jnp.asarray(noisy), jnp.asarray(ci),
+        jnp.asarray(pi), jnp.asarray(uv), jnp.ones((No,), bool), fixed)
+    prob = BAProblem(jnp.asarray(poses), jnp.asarray(noisy),
+                     jnp.asarray(ci), jnp.asarray(pi), jnp.asarray(uv),
+                     jnp.ones(No, bool), fixed)
+    lp, _ = bundle_adjust_large(prob, iters=1, cg_iters=20)
+    # same normal equations -> same update (up to CG tolerance)
+    assert np.abs(np.asarray(sp) - np.asarray(lp.poses)).max() < 5e-4
+    assert np.abs(np.asarray(spt) - np.asarray(lp.points)).max() < 5e-3
