@@ -429,12 +429,12 @@ def sharded_ba_large_step(mesh: Mesh, poses, points, cam_idx, pt_idx, uv,
         def red(x):
             return jax.lax.psum(x, axis)
 
-        B = red(jnp.zeros((Nc, 6, 6)).at[ci].add(
-            jnp.einsum("ori,orj->oij", Jcw, Jc)))
+        from rtabmap_tpu.optim.ba import _cam_reduce
+
+        B = red(_cam_reduce(ci, jnp.einsum("ori,orj->oij", Jcw, Jc), Nc))
         C = red(jnp.zeros((Np, 3, 3)).at[pi].add(
             jnp.einsum("ori,orj->oij", Jpw, Jp)))
-        bc = red(jnp.zeros((Nc, 6)).at[ci].add(
-            jnp.einsum("ori,or->oi", Jcw, r)))
+        bc = red(_cam_reduce(ci, jnp.einsum("ori,or->oi", Jcw, r), Nc))
         bp = red(jnp.zeros((Np, 3)).at[pi].add(
             jnp.einsum("ori,or->oi", Jpw, r)))
 
@@ -450,8 +450,7 @@ def sharded_ba_large_step(mesh: Mesh, poses, points, cam_idx, pt_idx, uv,
 
         def e_u(u_p):
             y = jnp.einsum("ori,oi->or", Jp, u_p[pi])
-            return red(jnp.zeros((Nc, 6)).at[ci].add(
-                jnp.einsum("ori,or->oi", Jcw, y)))
+            return red(_cam_reduce(ci, jnp.einsum("ori,or->oi", Jcw, y), Nc))
 
         def S_mv(x_c):
             Bx = jnp.einsum("cij,cj->ci", B, x_c)
