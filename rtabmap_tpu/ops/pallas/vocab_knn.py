@@ -128,10 +128,22 @@ def use_pallas_ok(n_query: int, n_slab: int, block: int = 1024) -> bool:
             and n_query % 128 == 0 and n_query <= 2048)
 
 
-def knn2(query, slab, slab_valid, block: int = 1024):
+def best_block(n_query: int, n_slab: int) -> int:
+    """Largest slab block whose (Q, B) f32 temporaries stay inside the
+    16 MiB scoped-VMEM budget (block sweep on v5e, Q=512 / W=131072:
+    1024 -> 1.33 ms, 2048 -> 0.90 ms, 4096 -> 0.47 ms, 8192 OOMs)."""
+    for b in (4096, 2048, 1024):
+        if n_slab % b == 0 and n_query * b * 4 <= 8 * 1024 * 1024:
+            return b
+    return 1024
+
+
+def knn2(query, slab, slab_valid, block: int = 0):
     """Dispatch: Pallas on TPU (measured 223x vs the lax.scan blocked matmul
     at Q=1024, W=131072 on v5e: 5.1ms vs 1131ms), exact blocked-matmul
-    fallback elsewhere."""
+    fallback elsewhere. ``block=0`` auto-sizes via ``best_block``."""
+    if block <= 0:
+        block = best_block(query.shape[0], slab.shape[0])
     if use_pallas_ok(query.shape[0], slab.shape[0], block):
         try:
             return pallas_knn2(query, slab, slab_valid, block=block)

@@ -37,9 +37,10 @@ def _quantize_kernel(desc, valid, slab, word_valid, nndr: jnp.ndarray, block: in
     dictionary is empty for that query.
     """
     if use_pallas:
-        from rtabmap_tpu.ops.pallas.vocab_knn import pallas_knn2
+        from rtabmap_tpu.ops.pallas.vocab_knn import best_block, pallas_knn2
 
-        d, i = pallas_knn2(desc, slab, word_valid)
+        d, i = pallas_knn2(desc, slab, word_valid,
+                           block=best_block(desc.shape[0], slab.shape[0]))
     else:
         d, i = M.knn_blocked(desc, slab, k=2, block=block, base_valid=word_valid)
     has_any = jnp.any(word_valid)
