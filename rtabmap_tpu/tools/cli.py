@@ -945,6 +945,24 @@ def tool_db_edit(argv: List[str]):
     return result
 
 
+def tool_fleet_demo(argv: List[str]):
+    """Multi-session loop-closure serving demo (beyond the reference:
+    parallel/fleet.py — B sessions tick as one jitted device step).
+    Usage: fleet_demo [batch=8]"""
+    from rtabmap_tpu.parallel.fleet import demo_fleet
+
+    batch = int(argv[0]) if argv else 8
+    best, best_p, state = demo_fleet(batch=batch)
+    ok = bool((best == 3).all())
+    print(json.dumps({
+        "sessions": batch,
+        "relocalized_at_place_3": ok,
+        "posterior_peaks": best.tolist(),
+        "confidence": [round(float(x), 3) for x in best_p],
+    }))
+    return ok
+
+
 def tool_wifi_mapping(argv: List[str]):
     """User-data mapping example (reference: examples/WifiMapping).
     Usage: wifi_mapping [out_dir] [n_frames]"""
@@ -980,6 +998,7 @@ TOOLS = {
     "matcher": tool_matcher,
     "lidar_mapping": tool_lidar_mapping,
     "wifi_mapping": tool_wifi_mapping,
+    "fleet_demo": tool_fleet_demo,
     "db_edit": tool_db_edit,
 }
 

@@ -50,3 +50,9 @@ def test_fleet_sessions_independent():
     assert int(best[0]) == 0
     p = np.asarray(post)
     assert p[0, 0] > 2.0 * p[1, int(best[1])]
+
+
+def test_fleet_demo_cli():
+    from rtabmap_tpu.tools.cli import tool_fleet_demo
+
+    assert tool_fleet_demo(["4"])
