@@ -15,3 +15,12 @@ import jax  # noqa: E402
 # does force the host platform (tests must not depend on the tunneled chip).
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+# Persistent compilation cache: the suite is compile-dominated on the
+# 2-CPU / 8-virtual-device CI host; repeat runs hit the cache.
+import pathlib
+
+_cache = pathlib.Path(__file__).resolve().parent.parent / ".jax_cache"
+_cache.mkdir(exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", str(_cache))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
