@@ -1521,21 +1521,31 @@ class Rtabmap:
         np.savetxt(path, P, fmt="%.6f")
 
     def write_log_files(self, directory: str):
-        """Dump the per-tick statistics history as CSV (reference:
+        """Dump the per-tick statistics history as CSVs (reference:
         Rtabmap::setupLogFiles LogF.txt/LogI.txt, Rtabmap.cpp:195 — float
-        timings and int counters per process() call)."""
+        timings in LogF, integer counters/ids in LogI)."""
         import csv
         import os
 
         keys = sorted({k for st in self.stats_history for k in st.data})
-        path = os.path.join(directory, "LogF.csv")
-        with open(path, "w", newline="") as f:
-            w = csv.writer(f)
-            w.writerow(["ref_id", "loop_id"] + keys)
-            for st in self.stats_history:
-                w.writerow([st.ref_id, st.loop_closure_id]
-                           + [st.get(k, 0.0) for k in keys])
-        return path
+        int_keys = [k for k in keys
+                    if all(float(st.get(k, 0.0)).is_integer()
+                           for st in self.stats_history)]
+        float_keys = [k for k in keys if k not in int_keys]
+
+        def dump(path, cols, cast):
+            with open(path, "w", newline="") as f:
+                w = csv.writer(f)
+                w.writerow(["ref_id", "loop_id"] + cols)
+                for st in self.stats_history:
+                    w.writerow([st.ref_id, st.loop_closure_id]
+                               + [cast(st.get(k, 0.0)) for k in cols])
+
+        path_f = os.path.join(directory, "LogF.csv")
+        dump(path_f, float_keys, float)
+        dump(os.path.join(directory, "LogI.csv"), int_keys,
+             lambda v: int(float(v)))
+        return path_f
 
     def close(self, map2d=None, opt_cloud=None, opt_mesh=None):
         """Persist the full map state (the database IS the checkpoint —

@@ -117,6 +117,12 @@ def test_write_log_files(tmp_path):
     lines = open(path).read().strip().splitlines()
     assert len(lines) == 4  # header + 3 ticks
     assert "Timing/Total/ms" in lines[0]
+    # integer counters split into LogI (reference LogF/LogI split)
+    import os
+    ilines = open(os.path.join(str(tmp_path), "LogI.csv")).read().splitlines()
+    assert len(ilines) == 4
+    assert "Memory/Working memory size/" in ilines[0]
+    assert "Timing/Total/ms" not in ilines[0]
 
 
 def test_statistics_reference_registry_and_engine_keys():
