@@ -93,7 +93,7 @@ def fast_response(gray, ring_r: int = 3):
     exceeding a contrast margin, computed densely with shifts (vectorized)."""
     offs = [
         (0, -3), (1, -3), (2, -2), (3, -1), (3, 0), (3, 1), (2, 2), (1, 3),
-        (0, 3), (-1, 3), (-2, 2), (-3, 1), (-3, 0), (-3, -1), (-2, -2), (-3, 1),
+        (0, 3), (-1, 3), (-2, 2), (-3, 1), (-3, 0), (-3, -1), (-2, -2), (-1, -3),
     ]
     H, W = gray.shape[-2:]
     pad = 3
