@@ -31,8 +31,8 @@ from rtabmap_tpu.geometry import camera as C
 from rtabmap_tpu.geometry import transform as T
 from rtabmap_tpu.memory.memory import (
     LINK_GLOBAL_CLOSURE, LINK_LOCAL_SPACE_CLOSURE, LINK_LOCAL_TIME_CLOSURE,
-    LINK_LANDMARK, LINK_NEIGHBOR, LINK_POSE_PRIOR, LINK_USER_CLOSURE,
-    LINK_VIRTUAL_CLOSURE, Link, Memory, Signature,
+    LINK_LANDMARK, LINK_NEIGHBOR, LINK_NEIGHBOR_MERGED, LINK_POSE_PRIOR,
+    LINK_USER_CLOSURE, LINK_VIRTUAL_CLOSURE, Link, Memory, Signature,
 )
 from rtabmap_tpu.optim import pose_graph as PG
 from rtabmap_tpu.utils.logging import Statistics, Timer, get_logger
@@ -71,9 +71,20 @@ class Rtabmap:
         )
         self.loop_thr = float(p["Rtabmap/LoopThr"])
         self.loop_ratio = float(p["Rtabmap/LoopRatio"])
+        # epipolar hypothesis verification (reference: VhEp/* params,
+        # Rtabmap.cpp:2193 -> EpipolarGeometry::check)
+        self.vh_ep_enabled = bool(p["VhEp/Enabled"])
+        self.vh_ep_match_count_min = int(p["VhEp/MatchCountMin"])
+        self.vh_ep_ransac_param1 = float(p["VhEp/RansacParam1"])
         self.max_error = float(p["RGBD/OptimizeMaxError"])
         self.local_radius = float(p["RGBD/LocalRadius"])
         self.prox_max_paths = int(p["RGBD/ProximityMaxPaths"])
+        self.prox_max_graph_depth = int(p["RGBD/ProximityMaxGraphDepth"])
+        self.prox_filtering_radius = float(
+            p["RGBD/ProximityPathFilteringRadius"])
+        self.prox_odom_guess = bool(p["RGBD/ProximityOdomGuess"])
+        self.max_loop_closure_distance = float(
+            p["RGBD/MaxLoopClosureDistance"])
         self.prox_merged_scan_cov_factor = float(
             p["RGBD/ProximityMergedScanCovFactor"])
         self.prox_global_scan_map = bool(p["RGBD/ProximityGlobalScanMap"])
@@ -91,6 +102,17 @@ class Rtabmap:
         self.angular_update = float(p["RGBD/AngularUpdate"])
         self.bin_data_kept = bool(p["Mem/BinDataKept"])
         self.retrieval_margin = 2  # graph-depth margin around hypothesis
+
+        # localization-mode odometry cache (reference: _odomCachePoses/
+        # _odomCacheConstraints, Rtabmap.cpp:1816-1842 update and :3335+
+        # per-frame verification; RGBD/MaxOdomCacheSize)
+        self.max_odom_cache_size = int(p["RGBD/MaxOdomCacheSize"])
+        self.localization_smoothing = bool(p["RGBD/LocalizationSmoothing"])
+        _prior_err = max(float(p["RGBD/LocalizationPriorError"]), 1e-6)
+        self.localization_prior_inf = 1.0 / (_prior_err * _prior_err)
+        self.aggressive_loop_thr = float(p["RGBD/AggressiveLoopThr"])
+        self._odom_cache_poses: Dict[int, np.ndarray] = {}   # id -> odom pose
+        self._odom_cache_links: Dict[Tuple[int, int], Link] = {}
 
         self.optimized_poses: Dict[int, np.ndarray] = {}
         self.landmark_poses: Dict[int, np.ndarray] = {}   # negative-id landmarks
@@ -171,6 +193,8 @@ class Rtabmap:
         self.memory.new_map()
         self.bayes.reset()
         self.last_hypothesis = (0, 0.0)
+        self._odom_cache_poses.clear()
+        self._odom_cache_links.clear()
 
     # ---------------------------------------------------------------- process
     def process(self, frame: FrameFeatures, odom_pose, covariance=None,
@@ -224,6 +248,9 @@ class Rtabmap:
                 # float64: geodetic degrees at f32 resolution quantize to
                 # ~0.4 m at mid latitudes — never store fixes in f32
                 sig.gps = np.asarray(gps, np.float64)
+            if raw is not None and self.memory.cor_type == 1:
+                # flow correspondences need the pixels (Vis/CorType=1)
+                sig.image = np.asarray(raw[0]) if raw[0] is not None else None
             # raw sensor data kept with the node for later export /
             # reprocessing (reference: Mem/BinDataKept, compressed
             # image/depth in the Data table — Memory.cpp:6474,6583)
@@ -255,9 +282,36 @@ class Rtabmap:
                         st.add("Odometry/Refined by scan/", 1)
                 neighbor_link = Link(prev_id, sig.id, LINK_NEIGHBOR, t_ab,
                                      info_from_cov(link_cov))
-            rehearsed = self.memory.rehearsal(sig)
             self.memory.add_to_stm(sig, neighbor_link)
-            st.add("Memory/RehearsalMerged", float(rehearsed))
+            # rehearsal AFTER STM insert so the odometry link exists and a
+            # full merge can happen (reference: Memory::update order,
+            # Memory.cpp:1018 — addSignatureToStm then rehearsal)
+            merged_id = self.memory.rehearsal(sig)
+            if merged_id and merged_id != sig.id:
+                # current node merged away — continue the tick on the
+                # surviving node (reference: _lastSignature = oldS)
+                self.optimized_poses.pop(sig.id, None)
+                sig = self.memory.get(merged_id)
+            st.add("Memory/RehearsalMerged", float(merged_id))
+
+        # --- B2. odometry cache update (localization mode; reference:
+        # Rtabmap.cpp:1816-1842 — rolling window of odometry poses +
+        # neighbor constraints used to verify localization links)
+        if not self.memory.incremental and self.max_odom_cache_size > 0:
+            if self._odom_cache_poses:
+                last_id = next(reversed(self._odom_cache_poses))
+                t_oc = np.asarray(T.relative(
+                    jnp.asarray(self._odom_cache_poses[last_id]),
+                    jnp.asarray(odom_pose)))
+                self._odom_cache_links[(last_id, sig.id)] = Link(
+                    last_id, sig.id, LINK_NEIGHBOR, t_oc, info_from_cov(cov))
+            self._odom_cache_poses[sig.id] = odom_pose
+            while len(self._odom_cache_poses) > self.max_odom_cache_size:
+                old = next(iter(self._odom_cache_poses))
+                del self._odom_cache_poses[old]
+                self._odom_cache_links = {
+                    k: v for k, v in self._odom_cache_links.items()
+                    if old not in k}
 
         # --- C. metric gating: small displacement
         small_displacement = False
@@ -282,6 +336,9 @@ class Rtabmap:
         if wm_ids and not small_displacement:
             with st.time_stage("Timing/Likelihood computation/ms"):
                 lik, virt = self._compute_likelihood(sig)
+                # kept for proximity path ranking (reference sorts nearest
+                # paths by likelihood, Rtabmap.cpp:2796)
+                self._last_likelihood = np.asarray(lik)
             with st.time_stage("Timing/Posterior computation/ms"):
                 post = self._compute_posterior(lik, virt)
             hypothesis_id, hypothesis_value = self._select_hypothesis(post)
@@ -289,12 +346,27 @@ class Rtabmap:
             st.add("Loop/Highest hypothesis value/", hypothesis_value)
             st.add("Loop/Vp hypothesis/", float(np.asarray(post)[-1]))
 
-        # --- accept rules
+        # --- accept rules (reference order, Rtabmap.cpp:2185-2212: single
+        # hypothesis -> epipolar verification -> loop ratio)
+        loop_thr = self.loop_thr
+        if (not self.memory.incremental and self.rgbd_mode and
+                loop_thr > self.aggressive_loop_thr):
+            # not yet localized to any previous session: loop aggressively
+            # on the old map (reference: RGBD/AggressiveLoopThr,
+            # Rtabmap.cpp:2166-2183)
+            has_lc = any(l.type in (LINK_GLOBAL_CLOSURE,
+                                    LINK_LOCAL_SPACE_CLOSURE, LINK_LANDMARK)
+                         for l in self._odom_cache_links.values())
+            if not has_lc:
+                loop_thr = self.aggressive_loop_thr
         accepted_id = 0
-        if hypothesis_id > 0 and hypothesis_value >= self.loop_thr:
+        if hypothesis_id > 0 and hypothesis_value >= loop_thr:
             n_hyp = len(wm_ids)
             if n_hyp <= 1:
                 log.debug("rejected hypothesis: single hypothesis")
+            elif (self.vh_ep_enabled and
+                  not self._verify_hypothesis_ep(sig, hypothesis_id, st)):
+                log.debug("rejected hypothesis: by epipolar geometry")
             elif (self.loop_ratio > 0 and
                   (self.last_hypothesis[1] == 0.0 or
                    hypothesis_value < self.loop_ratio * self.last_hypothesis[1])):
@@ -303,7 +375,7 @@ class Rtabmap:
                 accepted_id = hypothesis_id
         st.add("Loop/Accepted hypothesis id/", accepted_id)
         st.add("Loop/RejectedHypothesis/",
-               float(hypothesis_id > 0 and hypothesis_value >= self.loop_thr
+               float(hypothesis_id > 0 and hypothesis_value >= loop_thr
                      and accepted_id == 0))
         if self.last_hypothesis[1] > 0:
             st.add("Loop/Hypothesis ratio/",
@@ -431,7 +503,31 @@ class Rtabmap:
                     st.add("Loop/Localized/", 1)
             if loc_link is not None and loc_link.to_id == sig.id:
                 anchor = self.optimized_poses.get(loc_link.from_id)
-                if anchor is not None:
+                if anchor is None:
+                    pass
+                elif (self.max_odom_cache_size > 0 and
+                        len(self._odom_cache_poses) > 1 and
+                        sig.id in self._odom_cache_poses):
+                    # verify the localization against the odometry cache
+                    # before trusting it (reference: Rtabmap.cpp:3335+)
+                    with st.time_stage("Timing/Map optimization/ms"):
+                        corrected = self._localize_with_odom_cache(
+                            sig, [lk for lk in links_added
+                                  if lk.to_id == sig.id], odom_pose, st)
+                    if corrected is not None:
+                        self.map_correction = np.asarray(
+                            T.compose(jnp.asarray(corrected),
+                                      T.inverse(jnp.asarray(odom_pose))))
+                        st.add("Loop/Localized/", 1)
+                    else:
+                        # inconsistent with recent odometry: reject
+                        for lk in links_added:
+                            if lk.to_id == sig.id:
+                                self.memory.remove_link(lk.from_id, lk.to_id)
+                        st.add("Loop/Rejected by optimization/", 1)
+                        self.loop_closure_id = 0
+                        accepted_id = 0
+                else:
                     corrected = np.asarray(
                         T.compose(jnp.asarray(anchor), jnp.asarray(loc_link.transform)))
                     self.map_correction = np.asarray(
@@ -518,7 +614,8 @@ class Rtabmap:
                 continue
             for j, lk in s.links.items():
                 o = mem.get(j)
-                if o is not None and o.slot >= 0 and lk.type == LINK_NEIGHBOR:
+                if o is not None and o.slot >= 0 and lk.type in (
+                        LINK_NEIGHBOR, LINK_NEIGHBOR_MERGED):
                     links.append((s.slot, o.slot))
         depth = self.bayes.kernel.shape[0] - 2
         nbr_idx, nbr_margin = BF.build_neighbor_table(
@@ -545,6 +642,54 @@ class Rtabmap:
         # value = 1 - P(virtual place) (reference Rtabmap.cpp:2157)
         return sid, float(1.0 - p[-1])
 
+    def _verify_hypothesis_ep(self, sig: Signature, hyp_id: int,
+                              st: Statistics) -> bool:
+        """Epipolar verification of the loop hypothesis (reference:
+        EpipolarGeometry::check, EpipolarGeometry.cpp:65 — unique shared
+        word correspondences, fundamental-matrix RANSAC, accept when
+        inliers >= VhEp/MatchCountMin)."""
+        from rtabmap_tpu.memory.memory import _shared_word_rows
+        from rtabmap_tpu.ops.epipolar import check_hypothesis
+
+        with st.time_stage("Timing/Hypotheses validation/ms"):
+            old = self.memory.get(hyp_id)
+            if old is None or old.uv is None or sig.uv is None:
+                return False
+            ia, ib = _shared_word_rows(old.word_ids, sig.word_ids)
+            st.add("Loop/Epipolar pairs/", len(ia))
+            if len(ia) < self.vh_ep_match_count_min:
+                return False
+            # pad correspondences to the static per-frame K so the kernel
+            # compiles once per capacity (TPU static-shape discipline)
+            K = self.memory.K
+            uv_a = np.zeros((K, 2), np.float32)
+            uv_b = np.zeros((K, 2), np.float32)
+            valid = np.zeros((K,), bool)
+            n = min(len(ia), K)
+            uv_a[:n] = old.uv[ia[:n]]
+            uv_b[:n] = sig.uv[ib[:n]]
+            valid[:n] = True
+            _ok, _F, inl = check_hypothesis(
+                jnp.asarray(uv_a), jnp.asarray(uv_b), jnp.asarray(valid),
+                self._split_key(), min_pairs=self.vh_ep_match_count_min,
+                threshold_px=self.vh_ep_ransac_param1, inlier_ratio=0.0)
+            inliers = int(jnp.sum(inl))
+            st.add("Loop/Epipolar inliers/", inliers)
+            # the reference accepts on inliers >= VhEp/MatchCountMin alone;
+            # that is vacuous for a RANSAC model that always fits its own 8
+            # samples. Gate instead on the null model: a random point lands
+            # within RansacParam1 px of an epipolar line with
+            # p ~ 2*thr*diag/area, and the best-of-iters selection inflates
+            # the chance count to ~ mu + 3*sqrt(mu) + log(iters); require
+            # clearing 8 samples + that tail before the reference minimum
+            p_chance = (2.0 * self.vh_ep_ransac_param1 *
+                        float(np.hypot(self.cam.width, self.cam.height)) /
+                        (float(self.cam.width) * float(self.cam.height)))
+            mu = n * p_chance
+            null_gate = int(np.ceil(8 + mu + 3.0 * np.sqrt(mu) + 5.0))
+            gate = max(self.vh_ep_match_count_min, null_gate)
+            return inliers >= gate
+
     # -------------------------------------------------------------- proximity
     def _graph_neighborhood(self, sid: int, depth: int) -> List[int]:
         out = {sid}
@@ -562,10 +707,43 @@ class Rtabmap:
             frontier = nxt
         return sorted(out)
 
+    def _cluster_paths(self, cand_ids: List[int]) -> List[List[int]]:
+        """Segment candidate nodes into PATHS: connected components over
+        neighbor links restricted to the candidate set (reference:
+        Rtabmap::getPaths, Rtabmap.cpp:2793)."""
+        mem = self.memory
+        cand = set(cand_ids)
+        seen: set = set()
+        paths: List[List[int]] = []
+        for i in cand_ids:
+            if i in seen:
+                continue
+            comp, frontier = [i], [i]
+            seen.add(i)
+            depth = 0
+            while frontier and depth < max(self.prox_max_graph_depth, 1):
+                nxt = []
+                for a in frontier:
+                    s = mem.get(a)
+                    if s is None:
+                        continue
+                    for j, lk in s.links.items():
+                        if (j in cand and j not in seen and lk.type in
+                                (LINK_NEIGHBOR, LINK_NEIGHBOR_MERGED)):
+                            seen.add(j)
+                            comp.append(j)
+                            nxt.append(j)
+                frontier = nxt
+                depth += 1
+            paths.append(comp)
+        return paths
+
     def _proximity_detection(self, sig: Signature) -> List[Link]:
         """Find old nodes within RGBD/LocalRadius of the current optimized
-        pose and register against the nearest per cluster
-        (reference: Rtabmap.cpp:2677-3130)."""
+        pose, segment them into paths, and register against the most
+        likely node of each of the top RGBD/ProximityMaxPaths paths —
+        adding one space closure PER PATH (reference: Rtabmap.cpp:2677-3130;
+        path clustering :2793-2830, per-path registration :2828-2920)."""
         mem = self.memory
         cur_pose = self.optimized_poses.get(sig.id)
         if cur_pose is None:
@@ -587,22 +765,58 @@ class Rtabmap:
             if d < self.local_radius:
                 cands.append((d, i))
         cands.sort()
+        dist_by_id = {i: d for d, i in cands}
+
+        def lik_of(i: int) -> float:
+            s = mem.get(i)
+            if s is None or s.slot < 0 or not hasattr(self, "_last_likelihood"):
+                return 0.0
+            return float(self._last_likelihood[s.slot])
+
+        # paths sorted by (highest member likelihood, then proximity)
+        paths = self._cluster_paths([i for _, i in cands])
+        paths.sort(key=lambda pth: (max((lik_of(i) for i in pth), default=0.0),
+                                    -min(dist_by_id[i] for i in pth)),
+                   reverse=True)
+
+        filtering_radius = self.prox_filtering_radius
+        if self.max_loop_closure_distance > 0 and (
+                filtering_radius <= 0 or
+                self.max_loop_closure_distance < filtering_radius):
+            filtering_radius = self.max_loop_closure_distance
         out: List[Link] = []
-        for _, i in cands[: self.prox_max_paths]:
-            guess = np.asarray(
-                T.relative(jnp.asarray(self.optimized_poses[i]), jnp.asarray(cur_pose))
-            )
+        checked = 0
+        for pth in paths:
+            if self.prox_max_paths > 0 and checked >= self.prox_max_paths:
+                break
+            # nearest node of the path — or its most likely member if any
+            best_lik = max(pth, key=lik_of)
+            i = best_lik if lik_of(best_lik) > 0 else \
+                min(pth, key=lambda j: dist_by_id[j])
+            if i in mem.get(sig.id).links:
+                continue
+            if filtering_radius > 0 and dist_by_id[i] > filtering_radius:
+                continue
+            checked += 1
+            guess = np.asarray(T.relative(
+                jnp.asarray(self.optimized_poses[i]), jnp.asarray(cur_pose)))
+            # RGBD/ProximityOdomGuess additionally restricts matching to a
+            # guess-projected window (reference: computeTransform with
+            # odometry guess -> projection correspondences)
             t_ab, cov, inl = mem.compute_transform(
                 i, sig.id, self.cam, self._split_key(),
                 guess=guess, min_inliers=self.min_inliers,
+                guess_window=self.prox_odom_guess,
             )
             if t_ab is not None:
+                if (filtering_radius > 0 and
+                        float(np.linalg.norm(t_ab[:3, 3])) > filtering_radius):
+                    continue  # resulting transform too large
                 lk = Link(i, sig.id, LINK_LOCAL_SPACE_CLOSURE, t_ab,
                           info_from_cov(cov))
                 mem.add_link(lk)
                 out.append(lk)
                 self.last_proximity_id = i
-                break  # one proximity link per tick (nearest path)
 
         # scan-matching proximity vs the ASSEMBLED local scan map of the
         # nearby path (reference: Memory::computeIcpTransformMulti,
@@ -618,6 +832,96 @@ class Rtabmap:
                 out.extend(icp_links)
                 self._last_prox_counts = (0, len(icp_links))
         return out
+
+    def _localize_with_odom_cache(self, sig: Signature, loc_links: List[Link],
+                                  odom_pose, st: Statistics):
+        """Verify + smooth a localization with the rolling odometry cache
+        (reference: Rtabmap.cpp:3335-3760 — optimize the cache poses with
+        the map anchors held by strong pose priors; reject the
+        localization when the optimized graph's max edge-error ratio
+        exceeds RGBD/OptimizeMaxError, i.e. the new link would teleport us
+        against what odometry says). Returns the corrected map-frame pose
+        of the current node, or None to reject."""
+        cache_ids = [i for i in self._odom_cache_poses]
+        id_set = set(cache_ids)
+        cons: List[Link] = [lk for lk in self._odom_cache_links.values()]
+        cons += [lk for lk in loc_links]
+        # map anchors: constraint endpoints outside the cache with a known
+        # optimized pose — held in place by priors (LocalizationPriorError)
+        anchors = sorted({e for lk in cons for e in (lk.from_id, lk.to_id)
+                          if e not in id_set and e in self.optimized_poses})
+        if not anchors:
+            return None
+        ids = anchors + cache_ids
+        idx = {i: k for k, i in enumerate(ids)}
+        init = [np.asarray(self.optimized_poses[i], np.float32) for i in anchors]
+        mc = jnp.asarray(self.map_correction)
+        init += [np.asarray(T.compose(mc, jnp.asarray(self._odom_cache_poses[i])),
+                            np.float32) for i in cache_ids]
+        poses = np.stack(init)
+        ef, et, meas, info = [], [], [], []
+        for lk in cons:
+            if lk.from_id in idx and lk.to_id in idx:
+                ef.append(idx[lk.from_id])
+                et.append(idx[lk.to_id])
+                meas.append(np.asarray(lk.transform, np.float32))
+                info.append(np.asarray(lk.information, np.float32))
+        if not ef:
+            return None
+        pr_idx = np.arange(len(anchors), dtype=np.int32)
+        pr_meas = poses[: len(anchors)]
+        pr_info = np.tile(
+            (np.eye(6) * self.localization_prior_inf).astype(np.float32)[None],
+            (len(anchors), 1, 1))
+        # pow2 padding: one compile per bucket (static-shape discipline)
+        N, E, P = len(ids), len(ef), len(anchors)
+        Np = 1 << max(N - 1, 1).bit_length()
+        Ep = 1 << max(E - 1, 1).bit_length()
+        Pp = 1 << max(P - 1, 1).bit_length()
+        poses_p = np.concatenate(
+            [poses, np.tile(np.eye(3, 4, dtype=np.float32), (Np - N, 1, 1))])
+        ef_p = np.concatenate([np.array(ef, np.int32), np.zeros(Ep - E, np.int32)])
+        et_p = np.concatenate([np.array(et, np.int32), np.zeros(Ep - E, np.int32)])
+        meas_p = np.concatenate(
+            [np.stack(meas), np.tile(np.eye(3, 4, dtype=np.float32), (Ep - E, 1, 1))])
+        info_p = np.concatenate(
+            [np.stack(info), np.tile(np.eye(6, dtype=np.float32)[None], (Ep - E, 1, 1))])
+        pr_idx_p = np.concatenate([pr_idx, np.zeros(Pp - P, np.int32)])
+        pr_meas_p = np.concatenate(
+            [pr_meas, np.tile(np.eye(3, 4, dtype=np.float32), (Pp - P, 1, 1))])
+        pr_info_p = np.concatenate([pr_info, np.zeros((Pp - P, 6, 6), np.float32)])
+        g = PG.make_graph(
+            jnp.asarray(poses_p), jnp.asarray(ef_p), jnp.asarray(et_p),
+            jnp.asarray(meas_p), jnp.asarray(info_p),
+            node_valid=jnp.asarray(np.arange(Np) < N),
+            edge_valid=jnp.asarray(np.arange(Ep) < E), root=0,
+            priors_idx=jnp.asarray(pr_idx_p),
+            priors_meas=jnp.asarray(pr_meas_p),
+            priors_info=jnp.asarray(pr_info_p),
+            prior_valid=jnp.asarray(np.arange(Pp) < P))
+        out, _chi2 = PG.optimize(g, iters=12)
+        lin_ratio, ang_ratio = PG.edge_errors(out)
+        max_err = float(jnp.maximum(jnp.max(lin_ratio), jnp.max(ang_ratio)))
+        st.add("Loop/Optimization max error ratio/", max_err)
+        new_poses = np.asarray(out.poses)
+        if not np.isfinite(new_poses[:N]).all() or not np.isfinite(max_err):
+            return None
+        if self.max_error > 0 and max_err > self.max_error:
+            return None
+        # accepted: keep the localization links in the cache so subsequent
+        # frames are verified against them too (reference :3745-3760);
+        # with LocalizationSmoothing the stored link is the OPTIMIZED
+        # relative transform, smoothing successive corrections
+        cur = new_poses[idx[sig.id]]
+        for lk in loc_links:
+            t = lk.transform
+            if self.localization_smoothing:
+                t = np.asarray(T.relative(
+                    jnp.asarray(new_poses[idx[lk.from_id]]), jnp.asarray(cur)),
+                    np.float32)
+            self._odom_cache_links[(lk.from_id, lk.to_id)] = Link(
+                lk.from_id, lk.to_id, lk.type, t, lk.information)
+        return cur
 
     def set_initial_pose(self, pose) -> None:
         """Seed the localization-mode map correction: the next processed
@@ -1410,6 +1714,8 @@ class Rtabmap:
         self.loop_closure_id = 0
         self.last_hypothesis = (0, 0.0)
         self._last_pose = None
+        self._odom_cache_poses.clear()
+        self._odom_cache_links.clear()
         self.clear_path(0)
 
     def export_poses(self, path: str, fmt: int = 0,
@@ -1504,7 +1810,8 @@ class Rtabmap:
                 continue
             for j, lk in s.links.items():
                 o = mem.get(j)
-                if o is not None and o.slot >= 0 and lk.type == LINK_NEIGHBOR:
+                if o is not None and o.slot >= 0 and lk.type in (
+                        LINK_NEIGHBOR, LINK_NEIGHBOR_MERGED):
                     links.append((s.slot, o.slot))
         depth = self.bayes.kernel.shape[0] - 2
         nbr_idx, nbr_margin = BF.build_neighbor_table(

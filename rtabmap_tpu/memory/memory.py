@@ -97,25 +97,58 @@ class Signature:
     gps: Optional[np.ndarray] = None        # (6,) stamp,long,lat,alt,error,
                                             # bearing (reference: Node.gps,
                                             # GPS.h)
+    image: Optional[np.ndarray] = None      # (H,W) grayscale kept ONLY when
+                                            # Vis/CorType=1 (optical-flow
+                                            # correspondences need pixels;
+                                            # reference: imageRaw in
+                                            # RegistrationVis flow path)
 
 
 from functools import partial
 
 
-@partial(jax.jit, static_argnames=("iters", "min_inliers"))
-def _registration_kernel(desc_a, valid_a, pts_a, desc_b, valid_b3d, uv_b,
-                         pts_b, guess, cam_tuple, key,
+@partial(jax.jit, static_argnames=("iters", "min_inliers", "use_window",
+                                   "use_gms"))
+def _registration_kernel(desc_a, valid_a, pts_a, uv_a, desc_b, valid_b3d,
+                         uv_b, pts_b, guess, cam_tuple, key,
                          iters: int, reproj_px, min_inliers: int,
-                         nndr=jnp.float32(0.8)):
+                         nndr=jnp.float32(0.8),
+                         window_px=jnp.float32(0.0),
+                         use_window: bool = False, use_gms: bool = False):
     """Jit-cached signature registration: mutual NNDR descriptor matching
     (MXU matmul) + PnP-RANSAC with Kabsch hypotheses. One compile per
-    (K, iters)."""
+    (K, iters, window/gms mode).
+
+    use_window: restrict B->A candidates to a Vis/CorGuessWinSize pixel
+    window around A's 3D points projected into B via the guess (reference:
+    RegistrationVis.cpp:1018-1120 guess-projected window search) — the
+    low-overlap / repetitive-texture rescue mode.
+    use_gms: Grid Motion Statistics re-ranking of the mutual matches
+    (reference: Vis/CorNNType=7 via gms_matcher.h)."""
     from rtabmap_tpu.ops import matching as M
 
     cam = C.CameraModel(*cam_tuple)
-    m_ba = M.match_nndr(desc_b, jnp.any(desc_b != 0, -1), desc_a, valid_a, nndr=nndr)
-    m_ab = M.match_nndr(desc_a, valid_a, desc_b, jnp.any(desc_b != 0, -1), nndr=nndr)
+    valid_bd = jnp.any(desc_b != 0, -1)
+    if use_window:
+        # project A's points into B's camera through the guess:
+        # x_B = inv(guess) . x_A  (guess = B-in-A, ransac_pnp convention)
+        xb = T.apply(T.inverse(guess)[None], pts_a[None])[0]
+        uv_proj, z_proj = C.project(xb, cam)
+        # points behind the camera never match
+        valid_a = valid_a & (z_proj > 0)
+        m_ba = M.match_nndr(desc_b, valid_bd, desc_a, valid_a, nndr=nndr,
+                            guess_uv=uv_b, uv_b=uv_proj, window=window_px)
+        m_ab = M.match_nndr(desc_a, valid_a, desc_b, valid_bd, nndr=nndr,
+                            guess_uv=uv_proj, uv_b=uv_b, window=window_px)
+    else:
+        m_ba, m_ab = M.match_nndr_bidir(desc_b, valid_bd, desc_a, valid_a,
+                                        nndr=nndr)
     mutual = M.cross_check(m_ba, m_ab)
+    if use_gms:
+        H, W = cam_tuple[5], cam_tuple[4]
+        gms_ok = M.gms_filter(uv_b, uv_a[m_ba.idx], mutual, (H, W), (H, W))
+        # GMS needs statistical support; below ~30 matches keep NNDR's view
+        mutual = jnp.where(jnp.sum(mutual) >= 30, mutual & gms_ok, mutual)
     mm = m_ba._replace(valid=mutual)
     return R.ransac_pnp(
         pts_a[mm.idx], uv_b, mm.valid, cam, key, iters=iters,
@@ -167,6 +200,24 @@ class Memory:
         self.rehearsal_sim = float(p["Mem/RehearsalSimilarity"])
         self.recent_wm_ratio = float(p["Mem/RecentWmRatio"])
         self.incremental = bool(p["Mem/IncrementalMemory"])
+        # rehearsal merge knobs (reference: Memory.cpp:4274 rehearsalMerge;
+        # max distance/angle default to RGBD/Linear|AngularUpdate,
+        # Memory.cpp:111-112)
+        self.rehearsal_id_updated_to_new = bool(
+            p["Mem/RehearsalIdUpdatedToNewOne"])
+        self.rehearsal_weight_ignored_while_moving = bool(
+            p["Mem/RehearsalWeightIgnoredWhileMoving"])
+        self.rehearsal_max_distance = float(p["RGBD/LinearUpdate"])
+        self.rehearsal_max_angle = float(p["RGBD/AngularUpdate"])
+        self.reduce_graph = bool(p["Mem/ReduceGraph"])
+        # correspondence knobs (reference: RegistrationVis Vis/Cor*)
+        self.cor_type = int(p["Vis/CorType"])          # 0 features, 1 flow
+        self.cor_nndr = float(p["Vis/CorNNDR"])
+        self.cor_nn_type = int(p["Vis/CorNNType"])     # 7 = GMS re-ranking
+        self.guess_win_size = float(p["Vis/CorGuessWinSize"])
+        self.flow_win_size = int(p["Vis/CorFlowWinSize"])
+        self.flow_iterations = int(p["Vis/CorFlowIterations"])
+        self.flow_max_level = int(p["Vis/CorFlowMaxLevel"])
         self.node_capacity = node_capacity
         self.K = words_per_frame
         self.vocab = vocab or VWDictionary(
@@ -301,6 +352,10 @@ class Memory:
         while len(self.stm) > self.stm_size:
             moved = self.stm.pop(0)
             if self.incremental:
+                # online graph reduction on STM->WM promotion (reference:
+                # Memory::moveSignatureToWMFromSTM Memory.cpp:1447)
+                if self.reduce_graph and self.reduce_node(moved):
+                    continue
                 self.wm.append(moved)
             else:
                 self.delete_signature(moved)
@@ -335,20 +390,146 @@ class Memory:
         self.wm.clear()
         self._map_id += 1
 
-    def rehearsal(self, sig: Signature) -> bool:
+    def rehearsal(self, sig: Signature) -> int:
         """Compare to the previous STM signature; on similarity >= threshold
-        transfer weight (reference: Memory::rehearsal Memory.cpp:4218,
-        Signature::compareTo = shared words / max word count)."""
-        if len(self.stm) < 1:
-            return False
-        prev = self.signatures[self.stm[-1]]
+        MERGE the pair (reference: Memory::rehearsal Memory.cpp:4218 +
+        rehearsalMerge :4274). Call AFTER add_to_stm so the odometry
+        neighbor link exists (fullMerge requires it).
+
+        Returns the id of the SURVIVING node when a merge happened (the
+        caller must re-point its current-signature reference to it), else
+        0. In localization mode only the weight is transferred."""
+        prev = None
+        for i in reversed(self.stm):
+            s = self.signatures.get(i)
+            if s is not None and s.id != sig.id and s.weight >= 0:
+                prev = s
+                break
+        if prev is None:
+            self.last_rehearsal_sim = 0.0
+            self.last_rehearsal_id = 0
+            return 0
         sim = self.similarity(sig, prev)
         self.last_rehearsal_sim = sim          # Statistics: Memory/Rehearsal sim/
-        self.last_rehearsal_id = prev.id
-        if sim >= self.rehearsal_sim:
-            sig.weight = prev.weight + 1
-            return True
-        return False
+        self.last_rehearsal_id = prev.id if sim >= self.rehearsal_sim else 0
+        if sim < self.rehearsal_sim:
+            return 0
+        if not self.incremental:
+            # localization mode: accumulate weight on the (transient) node
+            sig.weight = sig.weight + 1 + prev.weight
+            return 0
+        return self.rehearsal_merge(prev.id, sig.id)
+
+    def rehearsal_merge(self, old_id: int, new_id: int) -> int:
+        """Merge two consecutive similar nodes (reference:
+        Memory::rehearsalMerge Memory.cpp:4274). Default
+        Mem/RehearsalIdUpdatedToNewOne=false keeps the OLD node (weights
+        accumulate on it) and deletes the new one; =true keeps the NEW
+        node and rewires the old node's links onto it. Merging only
+        happens when the robot is stationary (odometry delta under
+        RGBD/Linear|AngularUpdate). Returns the surviving id, or 0."""
+        old = self.signatures.get(old_id)
+        new = self.signatures.get(new_id)
+        if old is None or new is None or not self.incremental:
+            return 0
+        lk = old.links.get(new_id)
+        if lk is not None and lk.type != LINK_NEIGHBOR and \
+                lk.type != LINK_NEIGHBOR_MERGED:
+            return 0  # already merged
+        # stationary check on the odometry link (reference :4302-4320)
+        nb = new.links.get(old_id)
+        moving = False
+        if nb is not None:
+            d = jnp.asarray(nb.transform)
+            lin = float(T.translation_norm(d))
+            ang = float(T.rotation_angle(d))
+            moving = (lin > self.rehearsal_max_distance or
+                      ang > self.rehearsal_max_angle)
+        if moving and self.rehearsal_weight_ignored_while_moving:
+            return 0
+        full_merge = (not moving) and nb is not None
+        if not full_merge:
+            # weight-only update (reference's intermediate-merge fallback)
+            if self.rehearsal_id_updated_to_new:
+                new.weight = max(old.weight, 0) + new.weight + 1
+                old.weight = 0
+            else:
+                old.weight = max(new.weight, 0) + old.weight + 1
+                new.weight = 0
+            return 0
+        if self.rehearsal_id_updated_to_new:
+            # keep NEW: rewire old's links (composed through the odometry
+            # delta) onto the new node, then drop the old node
+            keep, drop = new, old
+            t_keep_drop = nb.transform  # T_new_old
+            for j, l in list(drop.links.items()):
+                if j == keep.id:
+                    continue
+                t = np.asarray(T.compose(jnp.asarray(t_keep_drop),
+                                         jnp.asarray(l.transform)), np.float32)
+                if j not in keep.links:
+                    self.add_link(Link(keep.id, j, l.type, t, l.information))
+            keep.label = keep.label or drop.label
+            keep.weight = max(drop.weight, 0) + keep.weight + 1
+        else:
+            # keep OLD (reference default): weights accumulate on it
+            keep, drop = old, new
+            keep.weight = max(drop.weight, 0) + keep.weight + 1
+        self.remove_node(drop.id)
+        if self.db is not None:
+            self.db.delete_node(drop.id)
+        return keep.id
+
+    def reduce_node(self, sid: int) -> int:
+        """Online graph reduction (reference: Memory::reduceNode
+        Memory.cpp:1306, triggered from moveSignatureToWMFromSTM when
+        Mem/ReduceGraph is on): when a node leaving STM carries a closure
+        link, remove the node and rewire its partners to its odometry
+        neighbors with kNeighborMerged links. Returns the id the node was
+        reduced to, or 0."""
+        s = self.signatures.get(sid)
+        if s is None or s.label:
+            return 0
+
+        def reducible(l: Link) -> bool:
+            return (l.to_id != l.from_id and l.to_id > 0 and
+                    l.type not in (LINK_NEIGHBOR, LINK_NEIGHBOR_MERGED,
+                                   LINK_VIRTUAL_CLOSURE, LINK_POSE_PRIOR,
+                                   LINK_GRAVITY, LINK_LANDMARK) and
+                    s.user_data is None)
+
+        reduced_to = 0
+        neighbors = {j: l for j, l in s.links.items()
+                     if l.type == LINK_NEIGHBOR}
+        for j, l in s.links.items():
+            if reducible(l):
+                reduced_to = j
+        if reduced_to == 0:
+            return 0
+        # rewire: every closure partner gets merged links to s's odometry
+        # neighbors: T_partner_nbr = inv(T_s_partner) . T_s_nbr
+        for j, l in list(s.links.items()):
+            partner = self.signatures.get(j)
+            if partner is None:
+                continue
+            if l.type not in (LINK_NEIGHBOR, LINK_NEIGHBOR_MERGED,
+                              LINK_VIRTUAL_CLOSURE):
+                inv = T.inverse(jnp.asarray(l.transform))
+                for k, nbl in neighbors.items():
+                    other = self.signatures.get(k)
+                    if other is None or k == j or k in partner.links:
+                        continue
+                    t = np.asarray(T.compose(inv, jnp.asarray(nbl.transform)),
+                                   np.float32)
+                    self.add_link(Link(j, k, LINK_NEIGHBOR_MERGED, t,
+                                       nbl.information))
+        # persist the reduced node to LTM before dropping it from the graph
+        # (reference passes keepLinkedInDb=true)
+        if self.db is not None:
+            s.in_ltm = True
+            self.db.save_signature(s)
+        self.remove_node(sid)
+        return reduced_to
 
     @staticmethod
     def similarity(a: Signature, b: Signature) -> float:
@@ -406,26 +587,89 @@ class Memory:
     # --------------------------------------------------- pairwise registration
     def compute_transform(self, from_id: int, to_id: int, cam: C.CameraModel,
                           key, guess=None, min_inliers: int = 20,
-                          reproj_px: float = 4.0, iters: int = 256
+                          reproj_px: float = 4.0, iters: int = 256,
+                          guess_window: Optional[bool] = None,
                           ) -> Tuple[Optional[np.ndarray], np.ndarray, int]:
         """Signature registration A->B: stored-descriptor mutual NNDR
         matching + PnP-RANSAC
         (reference: Memory::computeTransform Memory.cpp:3284 ->
         RegistrationVis::computeTransformationImpl).
 
+        Correspondence modes (reference RegistrationVis.cpp:560-1150):
+        - Vis/CorType=0 (default): descriptor matching; with a guess and
+          ``guess_window`` (or Vis/CorGuessWinSize>0 forced by caller),
+          candidates are restricted to the projected window.
+        - Vis/CorType=1: optical-flow correspondences — A's keypoints are
+          LK-tracked into B's image (requires both signatures to carry
+          their grayscale image), seeded by the guess projection.
+        - Vis/CorNNType=7: GMS re-ranking of the mutual matches.
+
         Returns (T_ab or None, covariance, inliers).
         """
         a = self.signatures[from_id]
         b = self.signatures[to_id]
-        guess_arr = jnp.asarray(guess) if guess is not None else T.identity()
+        has_guess = guess is not None
+        guess_arr = jnp.asarray(guess) if has_guess else T.identity()
         cam_tuple = (cam.fx, cam.fy, cam.cx, cam.cy, cam.width, cam.height,
                      cam.dist, cam.local_transform)
+        if (self.cor_type == 1 and getattr(a, "image", None) is not None
+                and getattr(b, "image", None) is not None):
+            return self._compute_transform_flow(
+                a, b, cam, cam_tuple, guess_arr if has_guess else None,
+                key, iters, reproj_px, min_inliers)
+        use_window = bool(guess_window) and has_guess and \
+            self.guess_win_size > 0
         res, _ = _registration_kernel(
             jnp.asarray(a.desc), jnp.asarray(a.valid3d), jnp.asarray(a.pts3d),
+            jnp.asarray(a.uv),
             jnp.asarray(b.desc), jnp.asarray(b.valid3d), jnp.asarray(b.uv),
             jnp.asarray(b.pts3d), guess_arr, cam_tuple, key,
             iters, jnp.float32(reproj_px), min_inliers,
+            nndr=jnp.float32(self.cor_nndr),
+            window_px=jnp.float32(self.guess_win_size),
+            use_window=use_window, use_gms=self.cor_nn_type == 7,
         )
+        if not bool(res.success):
+            return None, np.eye(6) * 9999.0, int(res.num_inliers)
+        return (np.asarray(res.transform), np.asarray(res.covariance),
+                int(res.num_inliers))
+
+    def _compute_transform_flow(self, a: Signature, b: Signature,
+                                cam: C.CameraModel, cam_tuple, guess,
+                                key, iters: int, reproj_px: float,
+                                min_inliers: int):
+        """Optical-flow correspondence mode (reference: Vis/CorType=1,
+        RegistrationVis.cpp:655-720 — LK-track A's keypoints into B's
+        image, seeded by the guess projection, then PnP on A's 3D)."""
+        from rtabmap_tpu.ops.flow import klt_track
+
+        img_a = jnp.asarray(a.image)
+        img_b = jnp.asarray(b.image)
+        uv_a = jnp.asarray(a.uv)
+        valid = jnp.asarray(a.valid3d)
+        guess_uv = None
+        if guess is not None:
+            xb = T.apply(T.inverse(guess)[None], jnp.asarray(a.pts3d)[None])[0]
+            uv_proj, z = C.project(xb, cam)
+            guess_uv = jnp.where((z > 0)[:, None], uv_proj, uv_a)
+        # Vis/CorFlowWinSize is the FULL window (cv::calcOpticalFlowPyrLK
+        # semantics); klt_track's win is the radius. With a guess the
+        # reference uses level 0 only (OPTFLOW_USE_INITIAL_FLOW)
+        # with a projected guess, large pixel displacements are expected
+        # (loop closures are wide-baseline) — disable the motion bound
+        uv_b, ok = klt_track(img_a, img_b, uv_a, valid, guess_uv=guess_uv,
+                             win=max(self.flow_win_size // 2, 2),
+                             iters=self.flow_iterations,
+                             levels=1 if guess is not None
+                             else self.flow_max_level,
+                             max_move=1e9 if guess is not None else 100.0)
+        in_frame = ((uv_b[:, 0] >= 0) & (uv_b[:, 0] < cam.width) &
+                    (uv_b[:, 1] >= 0) & (uv_b[:, 1] < cam.height))
+        w = valid & ok & in_frame
+        res = R.ransac_pnp(
+            jnp.asarray(a.pts3d), uv_b, w, cam, key, iters=iters,
+            reproj_px=jnp.float32(reproj_px), min_inliers=min_inliers,
+            guess=guess)
         if not bool(res.success):
             return None, np.eye(6) * 9999.0, int(res.num_inliers)
         return (np.asarray(res.transform), np.asarray(res.covariance),

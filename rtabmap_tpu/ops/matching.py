@@ -71,7 +71,9 @@ def match_nndr(desc_a, valid_a, desc_b, valid_b, nndr: float = 0.8,
     d = distance_matrix(desc_a, desc_b, metric)  # (Ka,Kb)
     inf = jnp.float32(1e9)
     mask = valid_b[None, :]
-    if window > 0.0 and guess_uv is not None and uv_b is not None:
+    # presence of the projection gates the mode (window may be a traced
+    # scalar under jit — never compare it in Python)
+    if guess_uv is not None and uv_b is not None:
         du = guess_uv[:, None, 0] - uv_b[None, :, 0]
         dv = guess_uv[:, None, 1] - uv_b[None, :, 1]
         mask = mask & ((du * du + dv * dv) <= window * window)

@@ -644,10 +644,15 @@ def tool_data_recorder(argv: List[str]):
 
 
 def tool_console_app(argv: List[str]):
-    """Interactive appearance-based loop-closure console
-    (reference: tools/ConsoleApp/main.cpp — feed images, watch the
-    hypothesis). Usage: console_app <image_dir> [--Param v ...];
-    reads commands from stdin: <enter>=next frame, q=quit."""
+    """Appearance-based loop-closure console with ground-truth scoring
+    (reference: tools/ConsoleApp/main.cpp — feed an image directory
+    through the appearance pipeline; with ``-gt matrix.bmp`` compute
+    Recall at 100% Precision exactly like the reference's scoring loop,
+    main.cpp:415-540; ``-createGT`` writes GroundTruth_generated.bmp).
+
+    Usage: console_app <image_dir> [-gt path] [-createGT] [-quiet]
+           [-skip N] [-start_at N] [-interactive] [--Param v ...]
+    """
     import jax
     import jax.numpy as jnp
 
@@ -658,11 +663,53 @@ def tool_console_app(argv: List[str]):
     from rtabmap_tpu.utils.params import Parameters
 
     params, rest = Parameters.parse_arguments(argv)
-    src = CameraImages(rest[0])
-    slam = None
-    ext = None
-    interactive = sys.stdin.isatty()
+    gt_path, create_gt, quiet, interactive = None, False, False, False
+    skip, start_at = 0, 0
+    path = None
+    it = iter(rest)
+    for a in it:
+        if a == "-gt":
+            gt_path = next(it)
+        elif a == "-createGT":
+            create_gt = True
+        elif a == "-quiet":
+            quiet = True
+        elif a == "-skip":
+            skip = int(next(it))
+        elif a == "-start_at":
+            start_at = int(next(it))
+        elif a == "-interactive":
+            interactive = True
+        else:
+            path = a
+    if path is None:
+        print("usage: console_app <image_dir> [-gt path] [-createGT] "
+              "[-quiet] [-skip N] [-start_at N] [--Param v ...]")
+        return 1
+
+    gt = None
+    if gt_path:
+        from PIL import Image
+
+        gt = np.array(Image.open(gt_path).convert("L"))
+        assert gt.shape[0] == gt.shape[1], "GT matrix must be square"
+        if start_at or skip:
+            print("Cannot input ground truth if start_at/skip are used.")
+            gt = None
+
+    src = CameraImages(path, start_id=start_at)
+    slam, ext = None, None
+    interactive = interactive and sys.stdin.isatty()
+    # (value, gt_ok) samples for frames with a hypothesis (reference:
+    # loopClosureStats map — dedup by value like std::map)
+    lc_stats: dict = {}
+    generated_gt: dict = {}
+    count_loops = 0
+    i = 0
     for sd in src:
+        if skip and (i % (skip + 1)) != 0:
+            i += 1
+            continue
         if interactive:
             cmd = input(f"[frame {sd.id}] enter=process q=quit> ").strip()
             if cmd == "q":
@@ -677,11 +724,53 @@ def tool_console_app(argv: List[str]):
                 x, jnp.zeros_like(x), cam, 400))
         st = slam.process(ext(g), np.eye(3, 4, dtype=np.float32),
                           stamp=float(sd.id))
-        hyp, p = slam.last_hypothesis
-        lc = st.get("Loop/Id/") or 0
-        print(f"frame {sd.id}: hypothesis {hyp} (p={p:.3f})"
-              + (f"  LOOP CLOSURE with {lc}" if lc else ""))
-    return slam
+        hyp_id, hyp_val = slam.last_hypothesis
+        lc = int(st.get("Loop/Id/") or 0)
+        if lc:
+            count_loops += 1
+            if create_gt:
+                generated_gt[i] = lc - 1
+        if gt is not None and hyp_val > 0 and hyp_id > 0:
+            if i >= gt.shape[0] or hyp_id - 1 >= gt.shape[1]:
+                print(f"ERROR: incompatible ground truth (size={gt.shape}, "
+                      f"image={i}, loop index={hyp_id - 1})")
+                return 1
+            rejected = bool(st.get("Loop/RejectedHypothesis/", 0.0))
+            if not rejected:
+                lc_stats[hyp_val] = bool(gt[i, hyp_id - 1] == 255)
+        if not quiet:
+            print(f"frame {sd.id}: hypothesis {hyp_id} (p={hyp_val:.3f})"
+                  + (f"  LOOP CLOSURE with {lc}" if lc else ""))
+        i += 1
+
+    print(f"Processing images completed. Loop closures found = {count_loops}")
+    out = {"slam": slam, "loops": count_loops, "frames": i}
+    if gt is not None and lc_stats:
+        # walk hypothesis values from highest down while GT agrees —
+        # Recall @ 100% Precision (reference main.cpp:509-540)
+        good, loop_thr = 0, 0.0
+        for v in sorted(lc_stats, reverse=True):
+            if not lc_stats[v]:
+                break
+            loop_thr = v
+            good += 1
+        total_gt = int((gt == 255).any(axis=1).sum())
+        recall = 100.0 * good / max(total_gt, 1)
+        print(f" Recall (100% Precision): {recall:.2f}% "
+              f"(with Rtabmap/LoopThr={loop_thr:.6f}, "
+              f"accepted={good}/{total_gt})")
+        out.update(recall_100p=recall, loop_thr=loop_thr,
+                   accepted=good, total_gt=total_gt)
+    if create_gt and i:
+        from PIL import Image
+
+        m = np.zeros((i, i), np.uint8)
+        for r, c in generated_gt.items():
+            m[r, c] = 255
+        Image.fromarray(m).save("GroundTruth_generated.bmp")
+        print(f"Generated ground truth file GroundTruth_generated.bmp, "
+              f"size of {i}")
+    return out
 
 
 def tool_stereo_eval(argv: List[str]):

@@ -1,0 +1,58 @@
+"""Real-data loop-closure evaluation on the reference's bundled sample
+sequence: 84 REAL camera images + the samples_GT.bmp ground-truth loop
+matrix (the reference's ConsoleApp precision/recall harness,
+/root/reference/tools/ConsoleApp/main.cpp:415-540). This is the measured
+real-data parity gate: no network egress is available in this
+environment, so the bundled real sequence is the real-dataset benchmark.
+"""
+import os
+
+import numpy as np
+import pytest
+
+SAMPLES = "/root/reference/data/samples"
+GT = "/root/reference/data/samples_GT.bmp"
+
+pytestmark = pytest.mark.skipif(
+    not (os.path.isdir(SAMPLES) and os.path.exists(GT)),
+    reason="reference sample data not present")
+
+# 2013-paper-style appearance parameters (reference ConsoleApp usage text)
+PARAMS = ["--Rtabmap/LoopThr", "0.11", "--Mem/STMSize", "30",
+          "--Rtabmap/LoopRatio", "0.9", "--Mem/RehearsalSimilarity", "0.20",
+          "--Mem/RecentWmRatio", "0.20"]
+
+
+@pytest.mark.slow
+def test_samples_recall_at_full_precision():
+    from rtabmap_tpu.tools.cli import tool_console_app
+
+    out = tool_console_app(
+        [SAMPLES, "-gt", GT, "-quiet"] + PARAMS)
+    assert isinstance(out, dict)
+    assert out["frames"] == 84
+    assert out["total_gt"] == 44
+    # measured on real images: 68.2% recall at 100% precision (round 3);
+    # regression floor set with margin
+    assert out["recall_100p"] >= 60.0, out
+    assert out["loops"] >= 20, out
+
+
+@pytest.mark.slow
+def test_samples_create_gt_roundtrip(tmp_path, monkeypatch):
+    from PIL import Image
+
+    from rtabmap_tpu.tools.cli import tool_console_app
+
+    monkeypatch.chdir(tmp_path)
+    out = tool_console_app([SAMPLES, "-createGT", "-quiet"] + PARAMS)
+    m = np.array(Image.open(tmp_path / "GroundTruth_generated.bmp"))
+    assert m.shape == (84, 84)
+    gt = np.array(Image.open(GT).convert("L"))
+    # every generated closure must be a true GT closure (100% precision on
+    # ACCEPTED closures at the working threshold)
+    rows, cols = np.where(m == 255)
+    assert len(rows) == out["loops"] > 0
+    good = sum(gt[r, c] == 255 for r, c in zip(rows, cols))
+    # tolerate 1 borderline accept across platforms (float-order jitter)
+    assert good >= len(rows) - 1, f"{good}/{len(rows)} accepted closures in GT"
