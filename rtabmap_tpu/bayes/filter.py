@@ -45,6 +45,23 @@ def init_state(capacity: int) -> BayesState:
     return BayesState(posterior=p)
 
 
+def _margin_weight(kernel, margin):
+    """Graph-distance m -> prediction mass. Kernel layout (reference
+    Bayes/PredictionLC): [vp, lc, b1, f1, b2, f2, ...] — distance m maps
+    to the backward/forward PAIR (kernel[2m], kernel[2m+1]). The BFS
+    neighbor table is direction-less, so each distance-m neighbor gets the
+    pair mean: total assigned mass matches the reference exactly for the
+    (always symmetric in practice) default kernels."""
+    xp = jnp if isinstance(margin, jnp.ndarray) else np
+    K = kernel.shape[0]
+    idx = xp.clip(2 * margin, 0, K - 1)
+    idx2 = xp.clip(2 * margin + 1, 0, K - 1)
+    pair = 0.5 * (kernel[idx] + kernel[idx2])
+    # beyond the kernel's reach the mass is zero, not the clipped tail
+    pair = xp.where(2 * margin <= K - 1, pair, 0.0)
+    return xp.where(margin == 0, kernel[1], pair)
+
+
 @jax.jit
 def _predict_and_update(posterior, likelihood, virtual_score, nbr_idx, nbr_margin,
                         node_valid, kernel, vp_prior):
@@ -60,7 +77,7 @@ def _predict_and_update(posterior, likelihood, virtual_score, nbr_idx, nbr_margi
     total_lc = jnp.sum(kernel)
 
     # --- prediction: prior = P @ posterior, P column-stochastic per source
-    w = jnp.where(nbr_idx >= 0, kernel[jnp.clip(nbr_margin + 1, 0, kernel.shape[0] - 1)], 0.0)
+    w = jnp.where(nbr_idx >= 0, _margin_weight(kernel, nbr_margin), 0.0)
     sum_w = jnp.sum(w, axis=-1)                    # (N,)
     # unassigned neighbor mass goes to the source itself (reference
     # normalize(): delta added to diagonal)
@@ -127,6 +144,93 @@ class BayesFilter:
         return self.state.posterior
 
 
+class IncrementalNeighborTable:
+    """Incrementally-maintained BFS neighbor table over the resident WM
+    graph — the per-tick replacement for rebuilding ``build_neighbor_table``
+    from scratch (the reference's BayesFilter caches prediction rows the
+    same way: only neighborhoods touched by graph changes are refreshed,
+    BayesFilter.cpp:330 getNeighborsId + prediction cache).
+
+    A link add/remove only changes the BFS rows of slots within ``depth``
+    hops of its endpoints; a node insert/remove likewise. Amortized cost
+    per tick is O(depth-neighborhood), not O(N)."""
+
+    def __init__(self, n_slots: int, depth: int, max_neighbors: int):
+        self.n_slots = n_slots
+        self.depth = depth
+        self.max_neighbors = max_neighbors
+        self.adj = [set() for _ in range(n_slots)]
+        self.nbr_idx = np.full((n_slots, max_neighbors), -1, np.int32)
+        self.nbr_margin = np.zeros((n_slots, max_neighbors), np.int32)
+        self._dirty: set = set()
+
+    def _mark_around(self, seeds):
+        seen = set(s for s in seeds if 0 <= s < self.n_slots)
+        frontier = list(seen)
+        for _ in range(self.depth):
+            nxt = []
+            for u in frontier:
+                for v in self.adj[u]:
+                    if v not in seen:
+                        seen.add(v)
+                        nxt.append(v)
+            frontier = nxt
+        self._dirty |= seen
+
+    def add_node(self, slot: int):
+        if 0 <= slot < self.n_slots:
+            self.adj[slot].clear()
+            self._dirty.add(slot)
+
+    def remove_node(self, slot: int):
+        if not (0 <= slot < self.n_slots):
+            return
+        self._mark_around([slot])
+        for v in self.adj[slot]:
+            self.adj[v].discard(slot)
+        self.adj[slot].clear()
+        self.nbr_idx[slot] = -1
+        self.nbr_margin[slot] = 0
+        self._dirty.discard(slot)
+
+    def add_edge(self, a: int, b: int):
+        if 0 <= a < self.n_slots and 0 <= b < self.n_slots and a != b:
+            self.adj[a].add(b)
+            self.adj[b].add(a)
+            self._mark_around([a, b])
+
+    def remove_edge(self, a: int, b: int):
+        if 0 <= a < self.n_slots and 0 <= b < self.n_slots:
+            self._mark_around([a, b])
+            self.adj[a].discard(b)
+            self.adj[b].discard(a)
+
+    def flush(self):
+        """Recompute BFS rows for dirty slots; returns the arrays."""
+        for s in self._dirty:
+            seen = {s: 0}
+            frontier = [s]
+            for m in range(1, self.depth + 1):
+                nxt = []
+                for u in frontier:
+                    for v in self.adj[u]:
+                        if v not in seen:
+                            seen[v] = m
+                            nxt.append(v)
+                frontier = nxt
+                if not frontier:
+                    break
+            items = sorted(seen.items(),
+                           key=lambda kv: (kv[1], kv[0]))[: self.max_neighbors]
+            self.nbr_idx[s] = -1
+            self.nbr_margin[s] = 0
+            for k, (v, m) in enumerate(items):
+                self.nbr_idx[s, k] = v
+                self.nbr_margin[s, k] = m
+        self._dirty.clear()
+        return self.nbr_idx, self.nbr_margin
+
+
 def build_neighbor_table(links, n_slots: int, depth: int, max_neighbors: int):
     """Host-side BFS over undirected links -> (nbr_idx, nbr_margin) arrays.
 
@@ -179,8 +283,7 @@ def prediction_matrix(nbr_idx, nbr_margin, node_valid, kernel,
         if not node_valid[src]:
             continue
         w = np.where(nbr_idx[src] >= 0,
-                     kernel[np.clip(nbr_margin[src] + 1, 0, len(kernel) - 1)],
-                     0.0)
+                     _margin_weight(kernel, nbr_margin[src]), 0.0)
         self_extra = max((total_lc - vp) - w.sum(), 0.0)
         col = w.sum() + self_extra
         scale = (1.0 - vp) / col if col > 0 else 0.0

@@ -552,7 +552,7 @@ class Rtabmap:
 
         # --- K. transfer (WM -> LTM)
         with st.time_stage("Timing/Memory cleanup/ms"):
-            self._transfer(st)
+            self._transfer(st, timer.elapsed() * 1000.0)
 
         # --- J/L statistics
         st.ref_id = sig.id
@@ -607,21 +607,11 @@ class Rtabmap:
 
     def _compute_posterior(self, lik, virt):
         mem = self.memory
-        links = []
-        for i in mem.wm:
-            s = mem.get(i)
-            if s.slot < 0:
-                continue
-            for j, lk in s.links.items():
-                o = mem.get(j)
-                if o is not None and o.slot >= 0 and lk.type in (
-                        LINK_NEIGHBOR, LINK_NEIGHBOR_MERGED):
-                    links.append((s.slot, o.slot))
-        depth = self.bayes.kernel.shape[0] - 2
-        nbr_idx, nbr_margin = BF.build_neighbor_table(
-            links, mem.node_capacity, depth=min(depth, 8),
-            max_neighbors=2 * min(depth, 8) + 1,
-        )
+        depth = min(self.bayes.kernel.shape[0] - 2, 8)
+        # incremental: only BFS rows touched by this tick's graph changes
+        # are recomputed (vs a full O(N) rebuild per tick)
+        tbl = mem.ensure_neighbor_table(depth, 2 * depth + 1)
+        nbr_idx, nbr_margin = tbl.flush()
         wm_valid = np.zeros((mem.node_capacity,), bool)
         for i in mem.wm:
             s = mem.get(i)
@@ -1194,12 +1184,13 @@ class Rtabmap:
         self.map_correction = np.asarray(T.compose(opt, T.inverse(odo)))
 
     # ---------------------------------------------------------------- transfer
-    def _transfer(self, st: Statistics):
+    def _transfer(self, st: Statistics, elapsed_ms: float = 0.0):
         overflow = 0
         if self.memory_thr > 0:
             overflow = max(len(self.memory.wm) - self.memory_thr, 0)
-        total_ms = st.get("Timing/Total/ms", 0.0)
-        if self.time_thr > 0 and total_ms > self.time_thr:
+        # elapsed time of THIS tick so far (Timing/Total/ms is only
+        # written after transfer — comparing against it reads 0)
+        if self.time_thr > 0 and elapsed_ms > self.time_thr:
             overflow = max(overflow, max(len(self.memory.wm) // 10, 1))
         # slab almost full -> force transfer
         free = len(self.memory._free_slots)
@@ -1803,20 +1794,9 @@ class Rtabmap:
         (reference: Rtabmap::dumpPrediction, Rtabmap.h:177 →
         BayesFilter::generatePrediction)."""
         mem = self.memory
-        links = []
-        for i in mem.wm:
-            s = mem.get(i)
-            if s.slot < 0:
-                continue
-            for j, lk in s.links.items():
-                o = mem.get(j)
-                if o is not None and o.slot >= 0 and lk.type in (
-                        LINK_NEIGHBOR, LINK_NEIGHBOR_MERGED):
-                    links.append((s.slot, o.slot))
-        depth = self.bayes.kernel.shape[0] - 2
-        nbr_idx, nbr_margin = BF.build_neighbor_table(
-            links, mem.node_capacity, depth=min(depth, 8),
-            max_neighbors=2 * min(depth, 8) + 1)
+        depth = min(self.bayes.kernel.shape[0] - 2, 8)
+        tbl = mem.ensure_neighbor_table(depth, 2 * depth + 1)
+        nbr_idx, nbr_margin = tbl.flush()
         wm_valid = np.zeros((mem.node_capacity,), bool)
         for i in mem.wm:
             s = mem.get(i)

@@ -243,6 +243,53 @@ class Memory:
         self.word_nw = jnp.zeros((self.vocab.capacity,), jnp.float32)
         self._free_slots = list(range(N - 1, -1, -1))
         self._slot_to_id = np.full((N,), -1, np.int64)
+        # incremental Bayes neighbor table (created on first use by the
+        # engine; kept in sync by link/slab mutations below)
+        self._nbr_table = None
+
+    # ------------------------------------------------- Bayes neighbor table
+    _NBR_TYPES = (LINK_NEIGHBOR, LINK_NEIGHBOR_MERGED)
+
+    def ensure_neighbor_table(self, depth: int, max_neighbors: int):
+        """Incrementally-maintained BFS table over resident neighbor links
+        (replaces per-tick full rebuilds — see
+        bayes.filter.IncrementalNeighborTable)."""
+        from rtabmap_tpu.bayes.filter import IncrementalNeighborTable
+
+        t = self._nbr_table
+        if (t is None or t.depth != depth
+                or t.max_neighbors != max_neighbors):
+            t = IncrementalNeighborTable(self.node_capacity, depth,
+                                         max_neighbors)
+            # seed from the current resident graph
+            for sid in (self.wm + self.stm):
+                s = self.signatures.get(sid)
+                if s is None or s.slot < 0:
+                    continue
+                t.add_node(s.slot)
+            for sid in (self.wm + self.stm):
+                s = self.signatures.get(sid)
+                if s is None or s.slot < 0:
+                    continue
+                for j, lk in s.links.items():
+                    o = self.signatures.get(j)
+                    if (o is not None and o.slot >= 0
+                            and lk.type in self._NBR_TYPES):
+                        t.add_edge(s.slot, o.slot)
+            self._nbr_table = t
+        return t
+
+    def _nbr_edge(self, link: Link, add: bool):
+        if self._nbr_table is None or link.type not in self._NBR_TYPES:
+            return
+        a = self.signatures.get(link.from_id)
+        b = self.signatures.get(link.to_id)
+        if a is None or b is None or a.slot < 0 or b.slot < 0:
+            return
+        if add:
+            self._nbr_table.add_edge(a.slot, b.slot)
+        else:
+            self._nbr_table.remove_edge(a.slot, b.slot)
 
     # ------------------------------------------------------------------ props
     @property
@@ -294,10 +341,19 @@ class Memory:
             jnp.asarray(sig.pts3d), True,
         )
         self.word_nw = _nw_add(self.word_nw, jnp.asarray(sig.word_ids))
+        if self._nbr_table is not None:
+            self._nbr_table.add_node(slot)
+            for j, lk in sig.links.items():
+                o = self.signatures.get(j)
+                if (o is not None and o.slot >= 0
+                        and lk.type in self._NBR_TYPES):
+                    self._nbr_table.add_edge(slot, o.slot)
 
     def _remove_slab(self, sig: Signature):
         if sig.slot < 0:
             return
+        if self._nbr_table is not None:
+            self._nbr_table.remove_node(sig.slot)
         self.node_words, self.node_valid = _slab_clear(
             self.node_words, self.node_valid, sig.slot
         )
@@ -317,8 +373,13 @@ class Memory:
                        np.asarray(T.inverse(jnp.asarray(link.transform))),
                        link.information)
             b.links[link.from_id] = inv
+        self._nbr_edge(link, add=True)
 
     def remove_link(self, from_id: int, to_id: int):
+        lk = (self.signatures[from_id].links.get(to_id)
+              if from_id in self.signatures else None)
+        if lk is not None:
+            self._nbr_edge(lk, add=False)
         if from_id in self.signatures:
             self.signatures[from_id].links.pop(to_id, None)
         if to_id in self.signatures:

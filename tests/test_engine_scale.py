@@ -1,0 +1,44 @@
+"""Engine at scale: large resident WM with the memory-management gates
+engaging (reference bounded-update claim, Rtabmap.cpp:4548-4710 —
+Rtabmap/TimeThr and Rtabmap/MemoryThr transfer WM nodes to LTM so the
+per-tick cost stays bounded)."""
+import time
+
+import numpy as np
+import pytest
+
+import bench
+
+
+@pytest.mark.slow
+def test_4k_wm_tick_and_timethr_bounding():
+    slam, frame = bench._populate_engine(4096, 6144)
+    slam.time_thr = 1e-3  # ms — any real tick exceeds it: bounding engages
+    pose = np.eye(3, 4, dtype=np.float32)
+    wm_before = len(slam.memory.wm)
+    transferred = 0
+    times = []
+    for k in range(4):
+        pose = pose.copy()
+        pose[0, 3] += 0.3
+        t0 = time.perf_counter()
+        st = slam.process(frame(10_000 + k), pose, stamp=float(10_000 + k))
+        times.append(time.perf_counter() - t0)
+        transferred += int(st.get("Memory/Transferred/", 0))
+    assert transferred > 0, "TimeThr bounding never engaged"
+    assert len(slam.memory.wm) < wm_before
+    # incremental neighbor table: later ticks must not degrade
+    assert np.isfinite(times).all()
+
+
+@pytest.mark.slow
+def test_memory_thr_bounds_wm():
+    slam, frame = bench._populate_engine(1000, 2048)
+    slam.memory_thr = 800
+    pose = np.eye(3, 4, dtype=np.float32)
+    for k in range(3):
+        pose = pose.copy()
+        pose[0, 3] += 0.3
+        slam.process(frame(20_000 + k), pose, stamp=float(20_000 + k))
+    # STM ring still fills, but WM is bounded at the threshold
+    assert len(slam.memory.wm) <= 800 + slam.memory.stm_size
