@@ -2,10 +2,12 @@
 
 Capability parity: the reference's ``DBDriver``/``DBDriverSqlite3``
 (/root/reference/corelib/src/DBDriverSqlite3.cpp; schema
-corelib/src/resources/DatabaseSchema.sql.in:16-130 — tables Node, Data,
-Link, Word, Feature, GlobalDescriptor, Info, Statistics, Admin) and its
-async writer thread (DBDriver.h:62 trash thread). The schema here keeps
-the same table roles with array columns stored as compressed blobs; a
+corelib/src/resources/DatabaseSchema.sql.in:16-130) and its
+async writer thread (DBDriver.h:62 trash thread). Tables here: Node,
+Data, Link, Word, Info, Statistics, Admin — the reference's Feature and
+GlobalDescriptor tables have no separate existence: per-node keypoint
+arrays and global descriptors ride in the Data row as compressed blobs
+(one read per node instead of three). Array columns are compressed; a
 background writer thread drains a queue exactly like the reference's
 trash. A database fully describes a map: reopening resumes mapping
 (sessions continue) and the vocabulary is restored without a rebuild

@@ -24,13 +24,40 @@ class Landmark:
     variance_angular: float = 0.01
 
 
+# Marker/Dictionary integer indices (reference: Parameters.h
+# kMarkerDictionary — 0-16 ArUco, 17-20 AprilTag, 21 ArUco MIP)
+DICT_BY_INDEX = [
+    "4X4_50", "4X4_100", "4X4_250", "4X4_1000",
+    "5X5_50", "5X5_100", "5X5_250", "5X5_1000",
+    "6X6_50", "6X6_100", "6X6_250", "6X6_1000",
+    "7X7_50", "7X7_100", "7X7_250", "7X7_1000",
+    "ARUCO_ORIGINAL",
+    "APRILTAG_16h5", "APRILTAG_25h9", "APRILTAG_36h10", "APRILTAG_36h11",
+    "ARUCO_MIP_36h12",
+]
+
+
+def _resolve_dictionary(cv2, dictionary):
+    """Accept the reference's integer Marker/Dictionary index, or a name
+    with/without the DICT_ prefix (ArUco AND AprilTag families)."""
+    if isinstance(dictionary, (int, np.integer)):
+        if not 0 <= int(dictionary) < len(DICT_BY_INDEX):
+            raise ValueError(f"Marker/Dictionary index {dictionary} out of "
+                             f"range 0..{len(DICT_BY_INDEX) - 1}")
+        dictionary = DICT_BY_INDEX[int(dictionary)]
+    name = str(dictionary)
+    if name.startswith("DICT_"):
+        name = name[5:]
+    return getattr(cv2.aruco, f"DICT_{name}")
+
+
 class MarkerDetector:
-    def __init__(self, dictionary: str = "4X4_50", marker_length: float = 0.2,
+    def __init__(self, dictionary="4X4_50", marker_length: float = 0.2,
                  var_linear: float = 0.001, var_angular: float = 0.01):
         import cv2
 
         self._cv2 = cv2
-        dic = getattr(cv2.aruco, f"DICT_{dictionary}")
+        dic = _resolve_dictionary(cv2, dictionary)
         self.dictionary = cv2.aruco.getPredefinedDictionary(dic)
         self.detector = cv2.aruco.ArucoDetector(self.dictionary)
         self.marker_length = marker_length
@@ -86,9 +113,9 @@ class MarkerDetector:
         return out
 
 
-def draw_marker(dictionary: str, marker_id: int, size_px: int = 200) -> np.ndarray:
+def draw_marker(dictionary, marker_id: int, size_px: int = 200) -> np.ndarray:
     """Render a marker image (for tests / calibration targets)."""
     import cv2
 
-    dic = cv2.aruco.getPredefinedDictionary(getattr(cv2.aruco, f"DICT_{dictionary}"))
+    dic = cv2.aruco.getPredefinedDictionary(_resolve_dictionary(cv2, dictionary))
     return cv2.aruco.generateImageMarker(dic, marker_id, size_px)

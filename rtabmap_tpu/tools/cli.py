@@ -128,9 +128,12 @@ def tool_report(argv: List[str]):
 
 
 def tool_reprocess(argv: List[str]):
-    """Re-run SLAM from a recorded map store with (possibly different)
+    """Re-run SLAM from recorded map store(s) with (possibly different)
     parameters (reference: tools/Reprocess/main.cpp — the regression
-    harness)."""
+    harness). The input may be a ``;``-separated list of databases: they
+    are replayed in order as APPENDED SESSIONS into one output map (the
+    reference's multi-session reprocess, Reprocess/main.cpp:94
+    \"Multiple databases can be input side by side\")."""
     from rtabmap_tpu.core.frame import FrameFeatures
     from rtabmap_tpu.engine.rtabmap import Rtabmap
     from rtabmap_tpu.geometry import camera as C
@@ -138,11 +141,13 @@ def tool_reprocess(argv: List[str]):
     from rtabmap_tpu.utils.params import Parameters
 
     params, rest = Parameters.parse_arguments(argv)
-    in_path = rest[0]
+    in_paths = [p for p in rest[0].split(";") if p]
     out_path = rest[1] if len(rest) > 1 else None
 
-    src = Database(in_path, async_writes=False)
-    admin = src.load_admin()
+    # parameters + camera come from the FIRST database (reference reads
+    # the parameters of the first input)
+    src0 = Database(in_paths[0], async_writes=False)
+    admin = src0.load_admin()
     stored = admin["parameters"]
     cam_vals = stored.get("__camera__")
     merged = Parameters()
@@ -158,24 +163,31 @@ def tool_reprocess(argv: List[str]):
     out_db = Database(out_path) if out_path else None
     slam = Rtabmap(cam, merged, db=out_db)
     n = 0
-    for sid in src.all_node_ids():
-        sig = src.load_signature(sid)
-        if sig is None or sig.word_ids is None:
-            continue
-        frame = FrameFeatures(
-            uv=sig.uv, desc=sig.desc, pts3d=sig.pts3d,
-            valid=(sig.word_ids >= 0) | (np.abs(sig.desc).sum(-1) > 0),
-            valid3d=sig.valid3d, angle=np.zeros(len(sig.uv), np.float32),
-            response=np.zeros(len(sig.uv), np.float32),
-        )
-        slam.process(frame, sig.pose, np.eye(6) * 1e-4, stamp=sig.stamp)
-        n += 1
-    print(f"reprocessed {n} nodes; loops in new run: "
+    sessions = 0
+    for pi, path in enumerate(in_paths):
+        src = src0 if pi == 0 else Database(path, async_writes=False)
+        if pi > 0:
+            slam.trigger_new_map()  # each database appends a new session
+        sessions += 1
+        for sid in src.all_node_ids():
+            sig = src.load_signature(sid)
+            if sig is None or sig.word_ids is None:
+                continue
+            frame = FrameFeatures(
+                uv=sig.uv, desc=sig.desc, pts3d=sig.pts3d,
+                valid=(sig.word_ids >= 0) | (np.abs(sig.desc).sum(-1) > 0),
+                valid3d=sig.valid3d, angle=np.zeros(len(sig.uv), np.float32),
+                response=np.zeros(len(sig.uv), np.float32),
+            )
+            slam.process(frame, sig.pose, np.eye(6) * 1e-4, stamp=sig.stamp)
+            n += 1
+        src.close()
+    print(f"reprocessed {n} nodes from {sessions} database(s); "
+          f"loops in new run: "
           f"{sum(1 for s in slam.stats_history if s.loop_closure_id)}")
     if out_db:
         slam.close()
         out_db.close()
-    src.close()
     return slam
 
 
@@ -1062,8 +1074,35 @@ def tool_wifi_mapping(argv: List[str]):
     return run(out, n)
 
 
+def tool_convert_model(argv: List[str]):
+    """Convert pretrained learned-model checkpoints into flax npz weights
+    (reference loads TorchScript/TF online — superpoint_torch/
+    SuperPoint.cc:342; here conversion happens once, offline).
+    Usage: convert_model superpoint <superpoint_v1.pt> <out.npz>
+           convert_model netvlad <ckpt.pt> <out.npz>"""
+    if len(argv) < 3:
+        print("usage: convert_model {superpoint|netvlad} <src> <out.npz>")
+        return 1
+    kind, src, out = argv[0], argv[1], argv[2]
+    if kind == "superpoint":
+        from rtabmap_tpu.models.convert import convert_superpoint_file
+
+        convert_superpoint_file(src, out)
+    elif kind == "netvlad":
+        from rtabmap_tpu.models.convert import convert_netvlad
+
+        d = convert_netvlad(src)
+        np.savez(out, **d)
+    else:
+        print(f"unknown model kind {kind!r}")
+        return 1
+    print(f"converted {kind} weights: {src} -> {out}")
+    return 0
+
+
 TOOLS = {
     "calibration": tool_calibration,
+    "convert_model": tool_convert_model,
     "cleanup_local_grids": tool_cleanup_local_grids,
     "console_app": tool_console_app,
     "data_recorder": tool_data_recorder,

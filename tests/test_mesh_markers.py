@@ -125,3 +125,19 @@ def test_engine_landmark_closure_corrects_drift():
     lm_err = np.linalg.norm(rel_lm[:, 3] - rel_lm_gt[:, 3])
     assert lm_err < 0.12, lm_err
     slam.close()
+
+
+def test_apriltag_detection_and_index_dictionaries():
+    """AprilTag family + the reference's integer Marker/Dictionary indices
+    (Parameters.h kMarkerDictionary: 17=APRILTAG_16h5 ... 20=36h11)."""
+    from rtabmap_tpu.ops.markers import DICT_BY_INDEX, MarkerDetector, draw_marker
+
+    assert DICT_BY_INDEX[17] == "APRILTAG_16h5"
+    det = MarkerDetector(20, marker_length=0.2)  # APRILTAG_36h11 by index
+    img = np.full((480, 640), 255, np.uint8)
+    m = draw_marker("APRILTAG_36h11", 3, 160)
+    img[160:320, 240:400] = m
+    cam = C.CameraModel.make(500.0, 500.0, 320.0, 240.0, 640, 480)
+    found = det.detect(img, cam)
+    assert len(found) == 1 and found[0].id == 3
+    assert abs(found[0].transform[2, 3] - 0.625) < 0.08

@@ -57,6 +57,15 @@ def test_rgbd_dataset_tool_roundtrip(tmp_path):
     slam2 = tool_reprocess(["--Rtabmap/DetectionRate", "0", db_path])
     assert len(slam2.stats_history) == 10
 
+    # multi-database reprocess: the SAME db twice as ';'-separated inputs
+    # appends the second pass as a NEW SESSION (Reprocess/main.cpp:94)
+    out2 = str(tmp_path / "merged.db")
+    slam3 = tool_reprocess(["--Rtabmap/DetectionRate", "0",
+                            f"{db_path};{db_path}", out2])
+    assert len(slam3.stats_history) == 20
+    map_ids = {s.map_id for s in slam3.memory.signatures.values()}
+    assert len(map_ids) == 2, map_ids
+
 
 def test_export_import_formats(tmp_path):
     from rtabmap_tpu.memory.memory import Link
