@@ -115,26 +115,47 @@ def _populate_engine(n_nodes: int, node_capacity: int):
     t = np.eye(3, 4, dtype=np.float32)
     t[0, 3] = 0.3
     inf = np.eye(6, dtype=np.float32)
-    prev = None
-    # bulk population: synthetic word ids straight into the slabs (the
-    # timed probe frames below still run the real quantize path)
+    # bulk population: synthetic word ids straight into the slabs as ONE
+    # device upload (per-node _insert_slab is dispatch-bound through the
+    # TPU tunnel); the timed probe frames below still run the real path
     from rtabmap_tpu.memory.memory import Signature
 
     W = mem.vocab.capacity
+    N = node_capacity
+    all_words = rng.randint(0, W, (n_nodes, K)).astype(np.int32)
+    all_uv = (rng.rand(n_nodes, K, 2) * [320, 240]).astype(np.float32)
+    all_pts = (rng.randn(n_nodes, K, 3) + [0, 0, 3.0]).astype(np.float32)
+    words_slab = np.full((N, K), -1, np.int32)
+    uv_slab = np.zeros((N, K, 2), np.float32)
+    pts_slab = np.zeros((N, K, 3), np.float32)
+    valid_slab = np.zeros((N,), bool)
+    words_slab[:n_nodes] = all_words
+    uv_slab[:n_nodes] = all_uv
+    pts_slab[:n_nodes] = all_pts
+    valid_slab[:n_nodes] = True
+    mem.node_words = jnp.asarray(words_slab)
+    mem.node_uv = jnp.asarray(uv_slab)
+    mem.node_pts = jnp.asarray(pts_slab)
+    mem.node_valid = jnp.asarray(valid_slab)
+    counts = np.zeros((W,), np.float32)
+    for k in range(n_nodes):
+        counts[np.unique(all_words[k])] += 1.0
+    mem.word_nw = jnp.asarray(counts)
+    mem._free_slots = list(range(N - 1, n_nodes - 1, -1))
+    desc0 = np.asarray(frame(0).desc)
+    prev = None
     for k in range(n_nodes):
         pose = np.eye(3, 4, dtype=np.float32)
         pose[0, 3] = 0.3 * k
-        fr = frame(k)
         sid = mem._next_id
         mem._next_id += 1
         sig = Signature(
             id=sid, map_id=0, stamp=float(k), pose=pose,
-            word_ids=rng.randint(0, W, (K,)).astype(np.int32),
-            desc=np.asarray(fr.desc), uv=np.asarray(fr.uv),
-            pts3d=np.asarray(fr.pts3d),
-            valid3d=np.ones((K,), bool))
+            word_ids=all_words[k],
+            desc=desc0, uv=all_uv[k],
+            pts3d=all_pts[k], valid3d=np.ones((K,), bool), slot=k)
+        mem._slot_to_id[k] = sid
         mem.signatures[sid] = sig
-        mem._insert_slab(sig)
         mem.wm.append(sid)
         slam.optimized_poses[sid] = pose
         if prev is not None:
@@ -204,10 +225,19 @@ def main():
     jax.config.update("jax_compilation_cache_dir", str(_cache))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
+    import time as _time
+
+    t_start = _time.perf_counter()
     fps, spread = bench_vo_kernel()
     tick_1k = bench_engine_tick(1000, 2048)
-    tick_4k = bench_engine_tick(4096, 6144)
-    fleet_ms = bench_fleet_tick()
+    # the 4k sweep only runs inside the driver's time budget (first runs
+    # pay jit compiles through the tunnel)
+    tick_4k = None
+    if _time.perf_counter() - t_start < 360:
+        tick_4k = bench_engine_tick(4096, 6144, ticks=8)
+    fleet_ms = None
+    if _time.perf_counter() - t_start < 480:
+        fleet_ms = bench_fleet_tick()
 
     rec = {
         "metric": "vo_step_fps_1chip",
@@ -216,9 +246,10 @@ def main():
         "vs_baseline": round(fps / 30.0, 3),
         "spread_pct": round(spread, 1),
         "engine_tick_ms_wm1k": round(tick_1k, 2),
-        "engine_tick_ms_wm4k": round(tick_4k, 2),
         "engine_ticks_per_s_wm1k": round(1000.0 / tick_1k, 2),
     }
+    if tick_4k is not None:
+        rec["engine_tick_ms_wm4k"] = round(tick_4k, 2)
     if fleet_ms is not None:
         rec["fleet32_tick_ms"] = round(fleet_ms, 2)
     print(json.dumps(rec))

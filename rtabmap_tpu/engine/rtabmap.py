@@ -100,6 +100,8 @@ class Rtabmap:
         self.detection_rate = float(p["Rtabmap/DetectionRate"])
         self.linear_update = float(p["RGBD/LinearUpdate"])
         self.angular_update = float(p["RGBD/AngularUpdate"])
+        self.linear_speed_update = float(p["RGBD/LinearSpeedUpdate"])
+        self.angular_speed_update = float(p["RGBD/AngularSpeedUpdate"])
         self.bin_data_kept = bool(p["Mem/BinDataKept"])
         self.retrieval_margin = 2  # graph-depth margin around hypothesis
 
@@ -229,6 +231,9 @@ class Rtabmap:
                           T.inverse(jnp.asarray(odom_pose))))
             self._pending_initial_pose = None
 
+        mc_before = np.asarray(self.map_correction).copy()
+        n_sigs_before = len(self.memory.signatures)
+
         # --- B. memory update
         with st.time_stage("Timing/Memory update/ms"):
             prev_id = self.memory.stm[-1] if self.memory.stm else None
@@ -325,15 +330,31 @@ class Rtabmap:
                     self.angular_update > 0 and ang < self.angular_update):
                 small_displacement = True
         self._last_pose = odom_pose
+        # too-fast movement gate (reference: RGBD/Linear|AngularSpeedUpdate,
+        # Rtabmap.cpp smallDisplacement||tooFastMovement hypothesis skip)
+        too_fast = False
+        if velocity is not None and self.rgbd_mode:
+            v = np.asarray(velocity, np.float64).ravel()
+            lin_s = float(np.linalg.norm(v[:3]))
+            ang_s = float(np.linalg.norm(v[3:6])) if v.size >= 6 else 0.0
+            too_fast = ((self.linear_speed_update > 0 and
+                         lin_s > self.linear_speed_update) or
+                        (self.angular_speed_update > 0 and
+                         ang_s > self.angular_speed_update))
+        st.add("Memory/Fast movement/", float(too_fast))
         st.add("Memory/Small movement/", float(small_displacement))
         st.add("Memory/Distance travelled/m", self._distance_travelled)
         st.add("Memory/Odometry variance lin/", float(cov[0, 0]))
         st.add("Memory/Odometry variance ang/", float(cov[5, 5]))
 
-        # --- D. appearance hypothesis
+        # --- D. appearance hypothesis (skipped for bad signatures —
+        # reference: "Ignoring likelihood ... doesn't have enough visual
+        # features", Rtabmap.cpp:2238)
+        bad_sig = (self.memory.bad_signatures_ignored and
+                   self.memory.is_bad_signature(sig))
         hypothesis_id, hypothesis_value = 0, 0.0
         wm_ids = list(self.memory.wm)
-        if wm_ids and not small_displacement:
+        if wm_ids and not small_displacement and not too_fast and not bad_sig:
             with st.time_stage("Timing/Likelihood computation/ms"):
                 lik, virt = self._compute_likelihood(sig)
                 # kept for proximity path ranking (reference sorts nearest
@@ -414,6 +435,15 @@ class Rtabmap:
                     min_inliers=self.min_inliers,
                 )
                 st.add("Loop/Visual inliers/", inliers)
+                reg = getattr(self.memory, "last_registration", {})
+                st.add("Loop/Visual matches/", reg.get("matches", 0))
+                st.add("Loop/Visual inliers ratio/",
+                       reg.get("inliers_ratio", 0.0))
+                st.add("Loop/Visual variance/", reg.get("variance", 0.0))
+                st.add("Loop/Linear variance/", reg.get("lin_variance", 0.0))
+                st.add("Loop/Angular variance/", reg.get("ang_variance", 0.0))
+                st.add("Loop/Visual words/",
+                       int(np.sum(np.asarray(sig.word_ids) >= 0)))
                 if t_ab is not None:
                     lk = Link(accepted_id, sig.id, LINK_GLOBAL_CLOSURE, t_ab,
                               info_from_cov(lc_cov))
@@ -451,6 +481,10 @@ class Rtabmap:
                 prox_links = self._proximity_detection(sig)
                 links_added.extend(prox_links)
                 st.add("Proximity/Space links added/", len(prox_links))
+                n_paths, n_checked = getattr(self, "_last_prox_path_stats",
+                                             (0, 0))
+                st.add("Proximity/Space paths/", n_paths)
+                st.add("Proximity/Space visual paths checked/", n_checked)
                 n_vis, n_icp = getattr(self, "_last_prox_counts",
                                        (len(prox_links), 0))
                 st.add("Proximity/Space detections added visually/", n_vis)
@@ -557,6 +591,14 @@ class Rtabmap:
         # --- J/L statistics
         st.ref_id = sig.id
         st.loop_closure_id = self.loop_closure_id if accepted_id else 0
+        if self.rgbd_mode:
+            with st.time_stage("Timing/Statistics creation/ms"):
+                self._pose_statistics(st, sig, mc_before)
+        st.add("Memory/Signatures removed/",
+               max(n_sigs_before + 1 - len(self.memory.signatures), 0))
+        if not self.memory.incremental:
+            st.add("Memory/Odom cache poses/", len(self._odom_cache_poses))
+            st.add("Memory/Odom cache links/", len(self._odom_cache_links))
         st.add("Memory/Working memory size/", len(self.memory.wm))
         st.add("Memory/Short time memory size/", len(self.memory.stm))
         st.add("Memory/Local graph size/", self.memory.n_resident)
@@ -589,6 +631,53 @@ class Rtabmap:
         self.stats_history.append(st)
         return st
 
+    def _pose_statistics(self, st: Statistics, sig: Signature, mc_before):
+        """Odom-correction / MapToOdom / MapToBase / Gt/* statistic
+        families (reference: Rtabmap.cpp:4200-4360 — the per-update pose
+        bookkeeping block feeding Statistics)."""
+        mc = jnp.asarray(self.map_correction)
+        delta = T.compose(mc, T.inverse(jnp.asarray(mc_before)))
+        d6 = np.asarray(T.to_xyzrpy(delta))
+        st.add("Loop/Odom correction norm/m", float(T.translation_norm(delta)))
+        st.add("Loop/Odom correction angle/deg",
+               float(np.degrees(float(T.rotation_angle(delta)))))
+        for k, name in enumerate(("x/m", "y/m", "z/m")):
+            st.add(f"Loop/Odom correction {name}", float(d6[k]))
+        for k, name in enumerate(("roll/deg", "pitch/deg", "yaw/deg")):
+            st.add(f"Loop/Odom correction {name}",
+                   float(np.degrees(d6[3 + k])))
+        m6 = np.asarray(T.to_xyzrpy(mc))
+        st.add("Loop/MapToOdom norm/m", float(T.translation_norm(mc)))
+        st.add("Loop/MapToOdom angle/deg",
+               float(np.degrees(float(T.rotation_angle(mc)))))
+        for k, name in enumerate(("x/m", "y/m", "z/m")):
+            st.add(f"Loop/MapToOdom {name}", float(m6[k]))
+        for k, name in enumerate(("roll/deg", "pitch/deg", "yaw/deg")):
+            st.add(f"Loop/MapToOdom {name}", float(np.degrees(m6[3 + k])))
+        base = self.optimized_poses.get(sig.id)
+        if base is not None:
+            b6 = np.asarray(T.to_xyzrpy(jnp.asarray(base)))
+            for k, name in enumerate(("x/m", "y/m", "z/m")):
+                st.add(f"Loop/MapToBase {name}", float(b6[k]))
+            for k, name in enumerate(("roll/deg", "pitch/deg", "yaw/deg")):
+                st.add(f"Loop/MapToBase {name}", float(np.degrees(b6[3 + k])))
+        # ground-truth error statistics (reference: graph::calcRMSE feeding
+        # the Gt/* family when a ground truth is attached)
+        if sig.gt_pose is not None:
+            from rtabmap_tpu.utils import metrics as MET
+
+            est, gt = [], []
+            for i in sorted(self.optimized_poses):
+                s = self.memory.get(i)
+                if s is None or s.gt_pose is None or i < 0:
+                    continue
+                est.append(np.asarray(self.optimized_poses[i]))
+                gt.append(np.asarray(s.gt_pose))
+            if len(est) >= 2:
+                for k, v in MET.gt_error_stats(np.stack(est),
+                                               np.stack(gt)).items():
+                    st.add(k, v)
+
     # ------------------------------------------------------------- likelihood
     def _compute_likelihood(self, sig: Signature):
         mem = self.memory
@@ -598,10 +687,20 @@ class Rtabmap:
         valid = np.asarray(mem.node_valid).copy()
         for s in stm_slots:
             valid[s] = False
-        lik = tfidf_likelihood(
-            jnp.asarray(sig.word_ids), mem.node_words, jnp.asarray(valid),
-            mem.word_nw, jnp.float32(mem.n_resident), mem.vocab.capacity,
-        )
+        if mem.tfidf_likelihood_used:
+            lik = tfidf_likelihood(
+                jnp.asarray(sig.word_ids), mem.node_words,
+                jnp.asarray(valid), mem.word_nw,
+                jnp.float32(mem.n_resident), mem.vocab.capacity,
+            )
+        else:
+            # Kp/TfIdfLikelihoodUsed=false: raw shared-unique-word
+            # similarity (the 2010-2013 papers' likelihood)
+            from rtabmap_tpu.vocab.dictionary import similarity_likelihood
+
+            lik = similarity_likelihood(
+                jnp.asarray(sig.word_ids), mem.node_words,
+                jnp.asarray(valid))
         adj, virt = adjust_likelihood(lik, jnp.asarray(valid))
         return adj, virt
 
@@ -807,6 +906,7 @@ class Rtabmap:
                 mem.add_link(lk)
                 out.append(lk)
                 self.last_proximity_id = i
+        self._last_prox_path_stats = (len(paths), checked)
 
         # scan-matching proximity vs the ASSEMBLED local scan map of the
         # nearby path (reference: Memory::computeIcpTransformMulti,
@@ -1146,6 +1246,11 @@ class Rtabmap:
         lin_ratio, ang_ratio = PG.edge_errors(out)
         max_err = float(jnp.maximum(jnp.max(lin_ratio), jnp.max(ang_ratio))) if len(ef) else 0.0
         st.add("Loop/Optimization max error ratio/", max_err)
+        if len(ef):
+            st.add("Loop/Optimization max ang error ratio/",
+                   float(jnp.max(ang_ratio)))
+        st.add("Loop/Optimization error/", float(chi2))
+        st.add("Loop/Optimization iterations/", 12)
 
         def propagate_missing():
             # keep every resident node addressable in map frame even when

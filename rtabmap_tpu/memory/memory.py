@@ -218,6 +218,12 @@ class Memory:
         self.flow_win_size = int(p["Vis/CorFlowWinSize"])
         self.flow_iterations = int(p["Vis/CorFlowIterations"])
         self.flow_max_level = int(p["Vis/CorFlowMaxLevel"])
+        # likelihood strategy + bad-signature gating (reference:
+        # Kp/TfIdfLikelihoodUsed, Kp/BadSignRatio, Mem/BadSignaturesIgnored)
+        self.tfidf_likelihood_used = bool(p["Kp/TfIdfLikelihoodUsed"])
+        self.bad_sign_ratio = float(p["Kp/BadSignRatio"])
+        self.bad_signatures_ignored = bool(p["Mem/BadSignaturesIgnored"])
+        self.kp_max_features = int(p["Kp/MaxFeatures"])
         self.node_capacity = node_capacity
         self.K = words_per_frame
         self.vocab = vocab or VWDictionary(
@@ -451,6 +457,16 @@ class Memory:
         self.wm.clear()
         self._map_id += 1
 
+    def is_bad_signature(self, sig: Signature) -> bool:
+        """Too few words for reliable loop closure (reference:
+        Signature::isBadSignature — word count under Kp/BadSignRatio of
+        the feature budget, Memory::createSignature Memory.cpp:5260)."""
+        if sig.word_ids is None:
+            return True
+        budget = self.kp_max_features if self.kp_max_features > 0 else self.K
+        n = int(np.sum(np.asarray(sig.word_ids) >= 0))
+        return n < self.bad_sign_ratio * min(budget, self.K)
+
     def rehearsal(self, sig: Signature) -> int:
         """Compare to the previous STM signature; on similarity >= threshold
         MERGE the pair (reference: Memory::rehearsal Memory.cpp:4218 +
@@ -460,6 +476,10 @@ class Memory:
         Returns the id of the SURVIVING node when a merge happened (the
         caller must re-point its current-signature reference to it), else
         0. In localization mode only the weight is transferred."""
+        if self.is_bad_signature(sig) and self.bad_signatures_ignored:
+            self.last_rehearsal_sim = 0.0
+            self.last_rehearsal_id = 0
+            return 0
         prev = None
         for i in reversed(self.stm):
             s = self.signatures.get(i)
@@ -680,7 +700,7 @@ class Memory:
                 key, iters, reproj_px, min_inliers)
         use_window = bool(guess_window) and has_guess and \
             self.guess_win_size > 0
-        res, _ = _registration_kernel(
+        res, mm = _registration_kernel(
             jnp.asarray(a.desc), jnp.asarray(a.valid3d), jnp.asarray(a.pts3d),
             jnp.asarray(a.uv),
             jnp.asarray(b.desc), jnp.asarray(b.valid3d), jnp.asarray(b.uv),
@@ -690,10 +710,27 @@ class Memory:
             window_px=jnp.float32(self.guess_win_size),
             use_window=use_window, use_gms=self.cor_nn_type == 7,
         )
+        self._record_registration(res, int(jnp.sum(mm.valid)))
         if not bool(res.success):
             return None, np.eye(6) * 9999.0, int(res.num_inliers)
         return (np.asarray(res.transform), np.asarray(res.covariance),
                 int(res.num_inliers))
+
+    def _record_registration(self, res, matches: int):
+        """Stash match-level stats of the LAST registration for the
+        engine's Loop/Visual* statistics (reference: RegistrationInfo
+        fields inliers/matches/inliersRatio/variance consumed at
+        Rtabmap.cpp:2893-2906)."""
+        inl = int(res.num_inliers)
+        cov = np.asarray(res.covariance)
+        self.last_registration = {
+            "matches": matches,
+            "inliers": inl,
+            "inliers_ratio": inl / max(matches, 1),
+            "variance": float(max(cov[0, 0], cov[5, 5])),
+            "lin_variance": float(cov[0, 0]),
+            "ang_variance": float(cov[5, 5]),
+        }
 
     def _compute_transform_flow(self, a: Signature, b: Signature,
                                 cam: C.CameraModel, cam_tuple, guess,
@@ -731,6 +768,7 @@ class Memory:
             jnp.asarray(a.pts3d), uv_b, w, cam, key, iters=iters,
             reproj_px=jnp.float32(reproj_px), min_inliers=min_inliers,
             guess=guess)
+        self._record_registration(res, int(jnp.sum(w)))
         if not bool(res.success):
             return None, np.eye(6) * 9999.0, int(res.num_inliers)
         return (np.asarray(res.transform), np.asarray(res.covariance),

@@ -118,3 +118,100 @@ def convert_netvlad(src) -> Dict:
     if alpha is not None:
         out["alpha"] = alpha
     return out
+
+
+# ------------------------------------------------------- SuperGlue official
+
+
+def _lin(w, b):
+    w = _to_numpy(w)
+    if w.ndim == 3:          # MagicLeap Conv1d (out,in,1)
+        w = w[:, :, 0]
+    return {"w": w.astype(np.float32), "b": _to_numpy(b).astype(np.float32)}
+
+
+def _bn(sd, prefix):
+    return {"gamma": _to_numpy(sd[f"{prefix}.weight"]).astype(np.float32),
+            "beta": _to_numpy(sd[f"{prefix}.bias"]).astype(np.float32),
+            "mean": _to_numpy(sd[f"{prefix}.running_mean"]).astype(np.float32),
+            "var": _to_numpy(sd[f"{prefix}.running_var"]).astype(np.float32)}
+
+
+def convert_superglue(src) -> Dict:
+    """Official SuperGlue checkpoint -> param tree for
+    ``models.superglue_official.superglue_apply``.
+
+    Accepts either the MagicLeap layout (superglue_indoor.pth:
+    kenc.encoder Conv1d sequential, gnn.layers.N.attn.proj.{0,1,2} /
+    attn.merge, mlp Conv1d sequential, final_proj, bin_score) or the
+    HF-transformers layout (keypoint_encoder.encoder.N.linear/batch_norm,
+    gnn.layers.N.attention.self.query|key|value / attention.output.dense,
+    mlp.0.linear/batch_norm + mlp.1, final_projection.final_proj)."""
+    sd = _load_state_dict(src)
+    hf = any(k.startswith("keypoint_encoder.") for k in sd)
+    ml = any(k.startswith("kenc.") for k in sd)
+    if not hf and not ml:
+        raise KeyError(f"unrecognized SuperGlue layout "
+                       f"(keys: {sorted(sd)[:6]}...)")
+    params: Dict = {"gnn": {"layers": []}}
+    if hf:
+        blocks = [{"linear": _lin(sd[f"keypoint_encoder.encoder.{i}.linear.weight"],
+                                  sd[f"keypoint_encoder.encoder.{i}.linear.bias"]),
+                   "bn": _bn(sd, f"keypoint_encoder.encoder.{i}.batch_norm")}
+                  for i in range(4)]
+        params["kenc"] = {
+            "blocks": blocks,
+            "final": _lin(sd["keypoint_encoder.encoder.4.weight"],
+                          sd["keypoint_encoder.encoder.4.bias"])}
+        n_layers = 1 + max(int(k.split(".")[2]) for k in sd
+                           if k.startswith("gnn.layers."))
+        for i in range(n_layers):
+            g = f"gnn.layers.{i}"
+            params["gnn"]["layers"].append({
+                "q": _lin(sd[f"{g}.attention.self.query.weight"],
+                          sd[f"{g}.attention.self.query.bias"]),
+                "k": _lin(sd[f"{g}.attention.self.key.weight"],
+                          sd[f"{g}.attention.self.key.bias"]),
+                "v": _lin(sd[f"{g}.attention.self.value.weight"],
+                          sd[f"{g}.attention.self.value.bias"]),
+                "out": _lin(sd[f"{g}.attention.output.dense.weight"],
+                            sd[f"{g}.attention.output.dense.bias"]),
+                "mlp0": {"linear": _lin(sd[f"{g}.mlp.0.linear.weight"],
+                                        sd[f"{g}.mlp.0.linear.bias"]),
+                         "bn": _bn(sd, f"{g}.mlp.0.batch_norm")},
+                "mlp1": _lin(sd[f"{g}.mlp.1.weight"], sd[f"{g}.mlp.1.bias"]),
+            })
+        params["final"] = _lin(sd["final_projection.final_proj.weight"],
+                               sd["final_projection.final_proj.bias"])
+    else:
+        # MagicLeap sequential indices: conv at 0,3,6,9 with BN at 1,4,7,10
+        # (ReLU between), final conv at 12
+        blocks = [{"linear": _lin(sd[f"kenc.encoder.{c}.weight"],
+                                  sd[f"kenc.encoder.{c}.bias"]),
+                   "bn": _bn(sd, f"kenc.encoder.{c + 1}")}
+                  for c in (0, 3, 6, 9)]
+        params["kenc"] = {
+            "blocks": blocks,
+            "final": _lin(sd["kenc.encoder.12.weight"],
+                          sd["kenc.encoder.12.bias"])}
+        n_layers = 1 + max(int(k.split(".")[2]) for k in sd
+                           if k.startswith("gnn.layers."))
+        for i in range(n_layers):
+            g = f"gnn.layers.{i}"
+            params["gnn"]["layers"].append({
+                "q": _lin(sd[f"{g}.attn.proj.0.weight"],
+                          sd[f"{g}.attn.proj.0.bias"]),
+                "k": _lin(sd[f"{g}.attn.proj.1.weight"],
+                          sd[f"{g}.attn.proj.1.bias"]),
+                "v": _lin(sd[f"{g}.attn.proj.2.weight"],
+                          sd[f"{g}.attn.proj.2.bias"]),
+                "out": _lin(sd[f"{g}.attn.merge.weight"],
+                            sd[f"{g}.attn.merge.bias"]),
+                "mlp0": {"linear": _lin(sd[f"{g}.mlp.0.weight"],
+                                        sd[f"{g}.mlp.0.bias"]),
+                         "bn": _bn(sd, f"{g}.mlp.1")},
+                "mlp1": _lin(sd[f"{g}.mlp.3.weight"], sd[f"{g}.mlp.3.bias"]),
+            })
+        params["final"] = _lin(sd["final_proj.weight"], sd["final_proj.bias"])
+    params["bin_score"] = float(_to_numpy(sd["bin_score"]))
+    return params

@@ -1079,15 +1079,22 @@ def tool_convert_model(argv: List[str]):
     (reference loads TorchScript/TF online — superpoint_torch/
     SuperPoint.cc:342; here conversion happens once, offline).
     Usage: convert_model superpoint <superpoint_v1.pt> <out.npz>
+           convert_model superglue <superglue_indoor.pth> <out.npz>
            convert_model netvlad <ckpt.pt> <out.npz>"""
     if len(argv) < 3:
-        print("usage: convert_model {superpoint|netvlad} <src> <out.npz>")
+        print("usage: convert_model {superpoint|superglue|netvlad} "
+              "<src> <out.npz>")
         return 1
     kind, src, out = argv[0], argv[1], argv[2]
     if kind == "superpoint":
         from rtabmap_tpu.models.convert import convert_superpoint_file
 
         convert_superpoint_file(src, out)
+    elif kind == "superglue":
+        from rtabmap_tpu.models.convert import convert_superglue
+        from rtabmap_tpu.models.superglue_official import save_params
+
+        save_params(convert_superglue(src), out)
     elif kind == "netvlad":
         from rtabmap_tpu.models.convert import convert_netvlad
 

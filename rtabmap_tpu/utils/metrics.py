@@ -51,6 +51,53 @@ def ate_rmse(est_poses, gt_poses, with_scale: bool = False) -> float:
     return float(np.sqrt((err ** 2).mean()))
 
 
+def gt_error_stats(est_poses, gt_poses) -> Dict[str, float]:
+    """Reference graph::calcRMSE parity (Graph.cpp:799, feeding the Gt/*
+    statistics family): anchor the estimated trajectory at the first
+    ground-truth pose (NOT Umeyama — the reference aligns on the first
+    pose only), then report translational/rotational error statistics.
+
+    Returns the 12 Gt/* aggregate values in reference units (m / deg)."""
+    est = np.asarray(est_poses, np.float64)
+    gt = np.asarray(gt_poses, np.float64)
+    n = min(len(est), len(gt))
+    if n == 0:
+        return {}
+    est, gt = est[:n], gt[:n]
+
+    def to44(P):
+        M = np.tile(np.eye(4), (P.shape[0], 1, 1))
+        M[:, :3, :] = P
+        return M
+
+    E, G = to44(est), to44(gt)
+    anchor = G[0] @ np.linalg.inv(E[0])
+    A = anchor[None] @ E
+    # per-node error transform gt^-1 * aligned_est
+    D = np.linalg.inv(G) @ A
+    t_err = np.linalg.norm(D[:, :3, 3], axis=1)
+    cos = np.clip((np.trace(D[:, :3, :3], axis1=1, axis2=2) - 1) / 2, -1, 1)
+    r_err = np.degrees(np.arccos(cos))
+    return {
+        # localization error of the LATEST node (reference:
+        # kGtLocalization_linear_error computed per update)
+        "Gt/Localization linear error/m": float(t_err[-1]),
+        "Gt/Localization angular error/deg": float(r_err[-1]),
+        "Gt/Translational rmse/m": float(np.sqrt((t_err ** 2).mean())),
+        "Gt/Translational mean/m": float(t_err.mean()),
+        "Gt/Translational median/m": float(np.median(t_err)),
+        "Gt/Translational std/m": float(t_err.std()),
+        "Gt/Translational min/m": float(t_err.min()),
+        "Gt/Translational max/m": float(t_err.max()),
+        "Gt/Rotational rmse/deg": float(np.sqrt((r_err ** 2).mean())),
+        "Gt/Rotational mean/deg": float(r_err.mean()),
+        "Gt/Rotational median/deg": float(np.median(r_err)),
+        "Gt/Rotational std/deg": float(r_err.std()),
+        "Gt/Rotational min/deg": float(r_err.min()),
+        "Gt/Rotational max/deg": float(r_err.max()),
+    }
+
+
 def rpe(est_poses, gt_poses, delta: int = 1) -> Tuple[float, float]:
     """Relative pose error over frame gaps of ``delta``:
     (trans RMSE m, rot RMSE rad)."""

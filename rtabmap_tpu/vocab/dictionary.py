@@ -177,6 +177,34 @@ def tfidf_likelihood(query_words, node_words, node_valid, word_nw, n_places, voc
 
 
 @jax.jit
+def similarity_likelihood(query_words, node_words, node_valid):
+    """Non-tf-idf likelihood (reference: Kp/TfIdfLikelihoodUsed=false ->
+    Memory::computeLikelihood uses Signature::compareTo, Memory.cpp:2145:
+    similarity = shared UNIQUE words / max(unique word counts) — the
+    2010-2013 papers' likelihood).
+
+    TPU form: sorted-dedupe masks on both sides, then one fused
+    (N,K,Kq) compare-reduce (no gather, same shape discipline as the
+    tf-idf kernel)."""
+    W = jnp.int32(2 ** 30)
+    qw = jnp.where(query_words >= 0, query_words, W)
+    qs = jnp.sort(qw)
+    firstq = jnp.concatenate([jnp.ones((1,), bool), qs[1:] != qs[:-1]])
+    quniq = firstq & (qs < W)
+    nwj = jnp.where(node_words >= 0, node_words, W)
+    ns = jnp.sort(nwj, axis=-1)                               # (N,K)
+    firstn = jnp.concatenate(
+        [jnp.ones((ns.shape[0], 1), bool), ns[:, 1:] != ns[:, :-1]], axis=1)
+    nuniq = firstn & (ns < W)
+    shared = jnp.sum(
+        (ns[:, :, None] == qs[None, None, :])
+        & nuniq[:, :, None] & quniq[None, None, :], axis=(-2, -1))
+    nq = jnp.sum(quniq)
+    nn = jnp.sum(nuniq, axis=-1)
+    sim = shared / jnp.maximum(jnp.maximum(nq, nn), 1)
+    return jnp.where(node_valid & (nn > 0), sim.astype(jnp.float32), 0.0)
+
+
 def adjust_likelihood(lik, node_valid):
     """Angeli mean/stddev normalization + virtual-place score.
 

@@ -1,0 +1,129 @@
+"""Statistics-surface parity: the engine must emit the reference's
+per-update statistic families under their exact registry names
+(reference: Statistics.h RTABMAP_STATS declarations; registry mirrored in
+utils/stats_registry.json)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rtabmap_tpu.core.frame import extract_features
+from rtabmap_tpu.datasets import synthetic as S
+from rtabmap_tpu.engine.rtabmap import Rtabmap
+from rtabmap_tpu.geometry import camera as C
+from rtabmap_tpu.utils.logging import Statistics
+from rtabmap_tpu.utils.params import Parameters
+
+CAM = C.CameraModel.make(300.0, 300.0, 160.0, 120.0, 320, 240)
+
+
+def _run_session(n=20, revisit=True, **kw):
+    poses = S.loop_trajectory(n)
+    slam = Rtabmap(CAM, Parameters(), node_capacity=64, words_per_frame=256)
+    ext = jax.jit(lambda g, d: extract_features(g, d, CAM, 256))
+    last = None
+    for i in range(n):
+        j = i % (n // 2) if revisit else i
+        g, d = S.render(poses[j], CAM)
+        last = slam.process(
+            ext(g, d), np.asarray(poses[j]), stamp=float(i),
+            gt_pose=np.asarray(poses[j]),
+            velocity=np.zeros(6, np.float32), **kw)
+    return slam, last
+
+
+def test_registry_name_subset_emitted():
+    slam, _ = _run_session()
+    emitted = set()
+    for st in slam.stats_history:
+        emitted |= set(st.data)
+    registry = set(Statistics.reference_registry())
+    must_have = {
+        "Loop/Odom correction norm/m", "Loop/Odom correction angle/deg",
+        "Loop/Odom correction x/m", "Loop/Odom correction yaw/deg",
+        "Loop/MapToOdom norm/m", "Loop/MapToOdom x/m",
+        "Loop/MapToBase x/m", "Loop/MapToBase yaw/deg",
+        "Gt/Translational rmse/m", "Gt/Translational max/m",
+        "Gt/Rotational rmse/deg", "Gt/Localization linear error/m",
+        "Memory/Fast movement/", "Memory/Signatures removed/",
+        "Proximity/Space paths/", "Proximity/Space visual paths checked/",
+        "Loop/Optimization error/", "Loop/Optimization iterations/",
+        "Timing/Statistics creation/ms",
+    }
+    missing = must_have - emitted
+    assert not missing, missing
+    # every emitted Loop/Memory/Gt/Proximity name must be a registry name
+    # (no invented spellings) except explicit Tpu/ extensions
+    fam = {n for n in emitted if n.split("/")[0] in ("Gt", "Proximity")}
+    extensions = {"Proximity/Space links added/",   # our summary counter
+                  "Proximity/Time links added/"}
+    assert fam - extensions <= registry, fam - extensions - registry
+    # coverage count keeps ratcheting up (round-3 floor)
+    assert len(emitted & registry) >= 55, len(emitted & registry)
+
+
+def test_gt_stats_zero_for_perfect_odometry():
+    slam, last = _run_session()
+    # odometry == ground truth: translational error ~0
+    assert last.get("Gt/Translational rmse/m") < 0.05
+    assert last.get("Gt/Localization linear error/m") < 0.05
+
+
+def test_too_fast_movement_skips_hypothesis():
+    poses = S.loop_trajectory(12)
+    p = Parameters()
+    p.set("RGBD/LinearSpeedUpdate", 0.5)
+    slam = Rtabmap(CAM, p, node_capacity=64, words_per_frame=256)
+    ext = jax.jit(lambda g, d: extract_features(g, d, CAM, 256))
+    fast = np.array([5.0, 0, 0, 0, 0, 0], np.float32)  # 5 m/s > 0.5
+    for i in range(8):
+        g, d = S.render(poses[i % 6], CAM)
+        st = slam.process(ext(g, d), np.asarray(poses[i % 6]),
+                          stamp=float(i), velocity=fast)
+        assert st.get("Memory/Fast movement/") == 1.0
+        assert st.get("Loop/Highest hypothesis id/", 0) == 0
+
+
+def test_similarity_likelihood_mode():
+    """Kp/TfIdfLikelihoodUsed=false switches to shared-unique-word
+    similarity and still finds the revisit hypothesis."""
+    import jax.numpy as jnp_
+
+    from rtabmap_tpu.vocab.dictionary import similarity_likelihood
+
+    q = jnp_.asarray(np.array([1, 2, 3, 4, -1, -1], np.int32))
+    nodes = jnp_.asarray(np.array([
+        [1, 2, 3, 4, 5, 6],      # 4 shared / max(4,6) = 0.666
+        [1, 1, 2, 2, -1, -1],    # uniq {1,2}: 2/max(4,2) = 0.5
+        [7, 8, 9, -1, -1, -1],   # 0 shared
+    ], np.int32))
+    valid = jnp_.ones((3,), bool)
+    sim = np.asarray(similarity_likelihood(q, nodes, valid))
+    np.testing.assert_allclose(sim, [4 / 6, 0.5, 0.0], atol=1e-6)
+
+    p = Parameters()
+    p.set("Kp/TfIdfLikelihoodUsed", False)
+    poses = S.loop_trajectory(16)
+    slam = Rtabmap(CAM, p, node_capacity=64, words_per_frame=256)
+    ext = jax.jit(lambda g, d: extract_features(g, d, CAM, 256))
+    for i in range(16):
+        g, d = S.render(poses[i % 8], CAM)
+        slam.process(ext(g, d), np.asarray(poses[i % 8]), stamp=float(i))
+    assert slam.last_hypothesis[0] > 0
+
+
+def test_bad_signature_skips_hypothesis():
+    p = Parameters()
+    p.set("Mem/BadSignaturesIgnored", True)
+    p.set("Kp/BadSignRatio", 0.9)  # 90% of the budget must quantize
+    poses = S.loop_trajectory(12)
+    slam = Rtabmap(CAM, p, node_capacity=64, words_per_frame=256)
+    ext = jax.jit(lambda g, d: extract_features(g, d, CAM, 256))
+    rng = np.random.default_rng(0)
+    for i in range(8):
+        g, d = S.render(poses[i % 6], CAM)
+        if i >= 6:  # blank out the revisit frames: too few features
+            g = jnp.asarray(np.full((240, 320), 0.5, np.float32))
+        st = slam.process(ext(g, d), np.asarray(poses[i % 6]),
+                          stamp=float(i))
+        if i >= 6:
+            assert st.get("Loop/Highest hypothesis id/", 0) == 0
