@@ -229,15 +229,19 @@ def main():
 
     t_start = _time.perf_counter()
     fps, spread = bench_vo_kernel()
-    tick_1k = bench_engine_tick(1000, 2048)
-    # the 4k sweep only runs inside the driver's time budget (first runs
-    # pay jit compiles through the tunnel)
-    tick_4k = None
-    if _time.perf_counter() - t_start < 360:
-        tick_4k = bench_engine_tick(4096, 6144, ticks=8)
-    fleet_ms = None
-    if _time.perf_counter() - t_start < 480:
-        fleet_ms = bench_fleet_tick()
+    # optional engine-scale phases: each pays fresh jit compiles through
+    # the tunnel on a cold cache — run them only inside the time budget
+    # and never let a failure eat the primary metric
+    tick_1k = tick_4k = fleet_ms = None
+    try:
+        if _time.perf_counter() - t_start < 300:
+            tick_1k = bench_engine_tick(1000, 2048, ticks=8)
+        if _time.perf_counter() - t_start < 360:
+            tick_4k = bench_engine_tick(4096, 6144, ticks=6)
+        if _time.perf_counter() - t_start < 450:
+            fleet_ms = bench_fleet_tick()
+    except Exception:
+        pass
 
     rec = {
         "metric": "vo_step_fps_1chip",
@@ -245,9 +249,10 @@ def main():
         "unit": "frames/s",
         "vs_baseline": round(fps / 30.0, 3),
         "spread_pct": round(spread, 1),
-        "engine_tick_ms_wm1k": round(tick_1k, 2),
-        "engine_ticks_per_s_wm1k": round(1000.0 / tick_1k, 2),
     }
+    if tick_1k is not None:
+        rec["engine_tick_ms_wm1k"] = round(tick_1k, 2)
+        rec["engine_ticks_per_s_wm1k"] = round(1000.0 / tick_1k, 2)
     if tick_4k is not None:
         rec["engine_tick_ms_wm4k"] = round(tick_4k, 2)
     if fleet_ms is not None:

@@ -98,6 +98,8 @@ class Rtabmap:
         self.optimizer_robust = bool(p["Optimizer/Robust"])
         self.rgbd_mode = bool(p["RGBD/Enabled"])
         self.detection_rate = float(p["Rtabmap/DetectionRate"])
+        self.create_intermediate_nodes = bool(
+            p["Rtabmap/CreateIntermediateNodes"])
         self.linear_update = float(p["RGBD/LinearUpdate"])
         self.angular_update = float(p["RGBD/AngularUpdate"])
         self.linear_speed_update = float(p["RGBD/LinearSpeedUpdate"])
@@ -204,16 +206,22 @@ class Rtabmap:
                 user_data: Optional[bytes] = None, grid=None,
                 env_sensors=None, global_desc=None, gt_pose=None,
                 velocity=None, gps=None, landmarks=None,
-                raw=None) -> Statistics:
+                raw=None, descf=None) -> Statistics:
         st = Statistics()
         timer = Timer()
         odom_pose = np.asarray(odom_pose, np.float32)
         cov = np.asarray(covariance) if covariance is not None else np.eye(6) * 1e-4
 
         # --- detection-rate gate (reference gates in RtabmapThread; here we
-        # keep it in-engine for the synchronous API)
+        # keep it in-engine for the synchronous API). With
+        # Rtabmap/CreateIntermediateNodes, gated frames become weight=-1
+        # nodes: in the odometry chain (dense trajectory) but excluded
+        # from rehearsal/hypotheses (reference: Rtabmap.cpp:1523+)
         if self.detection_rate > 0 and stamp > 0:
             if stamp - self._last_process_stamp < 1.0 / self.detection_rate - 1e-6:
+                if self.create_intermediate_nodes and self.rgbd_mode:
+                    self._add_intermediate_node(frame, odom_pose, cov, stamp,
+                                                st)
                 st.add("Rtabmap/Skipped", 1)
                 return st
         self._last_process_stamp = stamp
@@ -256,6 +264,9 @@ class Rtabmap:
             if raw is not None and self.memory.cor_type == 1:
                 # flow correspondences need the pixels (Vis/CorType=1)
                 sig.image = np.asarray(raw[0]) if raw[0] is not None else None
+            if descf is not None and self.memory.cor_nn_type == 6:
+                # SuperGlue matching needs float descriptors (CorNNType=6)
+                sig.descf = np.asarray(descf, np.float32)
             # raw sensor data kept with the node for later export /
             # reprocessing (reference: Mem/BinDataKept, compressed
             # image/depth in the Data table — Memory.cpp:6474,6583)
@@ -630,6 +641,41 @@ class Rtabmap:
         st.add("Timing/Total/ms", timer.elapsed() * 1000.0)
         self.stats_history.append(st)
         return st
+
+    def _add_intermediate_node(self, frame, odom_pose, cov, stamp,
+                               st: Statistics):
+        """Weight=-1 node for a detection-rate-gated frame (reference:
+        Rtabmap/CreateIntermediateNodes — keeps the full-rate odometry
+        chain in the graph without feeding the appearance pipeline)."""
+        mem = self.memory
+        prev_id = mem.stm[-1] if mem.stm else None
+        # no words: quantization skipped, an empty feature set is stored
+        empty = FrameFeatures(
+            uv=jnp.zeros_like(frame.uv), desc=jnp.zeros_like(frame.desc),
+            pts3d=jnp.zeros_like(frame.pts3d),
+            valid=jnp.zeros_like(frame.valid),
+            valid3d=jnp.zeros_like(frame.valid3d),
+            angle=jnp.zeros_like(frame.angle),
+            response=jnp.zeros_like(frame.response))
+        sig = mem.create_signature(empty, odom_pose, stamp, weight=-1)
+        link = None
+        if prev_id is not None:
+            prev = mem.get(prev_id)
+            t_ab = np.asarray(T.relative(jnp.asarray(prev.pose),
+                                         jnp.asarray(odom_pose)))
+            link = Link(prev_id, sig.id, LINK_NEIGHBOR, t_ab,
+                        info_from_cov(np.asarray(cov)))
+        mem.add_to_stm(sig, link)
+        self.optimized_poses[sig.id] = np.asarray(
+            T.compose(jnp.asarray(self.map_correction),
+                      jnp.asarray(odom_pose)))
+        st.ref_id = sig.id
+        st.add("Memory/Short time memory inter size/",
+               sum(1 for i in mem.stm
+                   if (s := mem.get(i)) is not None and s.weight < 0))
+        st.add("Memory/Working memory inter size/",
+               sum(1 for i in mem.wm
+                   if (s := mem.get(i)) is not None and s.weight < 0))
 
     def _pose_statistics(self, st: Statistics, sig: Signature, mc_before):
         """Odom-correction / MapToOdom / MapToBase / Gt/* statistic

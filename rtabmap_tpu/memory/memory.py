@@ -102,6 +102,12 @@ class Signature:
                                             # correspondences need pixels;
                                             # reference: imageRaw in
                                             # RegistrationVis flow path)
+    descf: Optional[np.ndarray] = None      # (K,256) float descriptors kept
+                                            # ONLY when Vis/CorNNType=6
+                                            # (SuperGlue matching needs the
+                                            # pre-binarization SuperPoint
+                                            # descriptors; reference:
+                                            # PyMatcher/rtabmap_superglue.py)
 
 
 from functools import partial
@@ -224,6 +230,9 @@ class Memory:
         self.bad_sign_ratio = float(p["Kp/BadSignRatio"])
         self.bad_signatures_ignored = bool(p["Mem/BadSignaturesIgnored"])
         self.kp_max_features = int(p["Kp/MaxFeatures"])
+        # Vis/CorNNType=6: official SuperGlue matcher (PyMatcher slot) —
+        # attach pretrained params via set_superglue()
+        self.superglue_params = None
         self.node_capacity = node_capacity
         self.K = words_per_frame
         self.vocab = vocab or VWDictionary(
@@ -296,6 +305,11 @@ class Memory:
             self._nbr_table.add_edge(a.slot, b.slot)
         else:
             self._nbr_table.remove_edge(a.slot, b.slot)
+
+    def set_superglue(self, params) -> None:
+        """Attach official SuperGlue weights (from
+        models.convert.convert_superglue) for Vis/CorNNType=6 matching."""
+        self.superglue_params = params
 
     # ------------------------------------------------------------------ props
     @property
@@ -698,6 +712,12 @@ class Memory:
             return self._compute_transform_flow(
                 a, b, cam, cam_tuple, guess_arr if has_guess else None,
                 key, iters, reproj_px, min_inliers)
+        if (self.cor_nn_type == 6 and self.superglue_params is not None
+                and getattr(a, "descf", None) is not None
+                and getattr(b, "descf", None) is not None):
+            return self._compute_transform_superglue(
+                a, b, cam, guess_arr if has_guess else None, key, iters,
+                reproj_px, min_inliers)
         use_window = bool(guess_window) and has_guess and \
             self.guess_win_size > 0
         res, mm = _registration_kernel(
@@ -731,6 +751,40 @@ class Memory:
             "lin_variance": float(cov[0, 0]),
             "ang_variance": float(cov[5, 5]),
         }
+
+    def _compute_transform_superglue(self, a: Signature, b: Signature,
+                                     cam: C.CameraModel, guess, key,
+                                     iters: int, reproj_px: float,
+                                     min_inliers: int):
+        """Official-SuperGlue correspondence mode (reference: the
+        PyMatcher bridge, Vis/CorNNType=6 -> rtabmap_superglue.py): the
+        attentional matcher produces the assignment; PnP estimates the
+        transform from A's 3D and B's matched pixels."""
+        from rtabmap_tpu.models.superglue_official import (
+            match_from_scores, superglue_apply,
+        )
+
+        # keypoint confidences are not persisted per node; the pretrained
+        # net tolerates a flat prior (the encoder sees score as one input
+        # channel)
+        sc_a = jnp.full((a.uv.shape[0],), 0.5, jnp.float32)
+        sc_b = jnp.full((b.uv.shape[0],), 0.5, jnp.float32)
+        Z = superglue_apply(
+            self.superglue_params, jnp.asarray(a.uv), sc_a,
+            jnp.asarray(a.descf), jnp.asarray(b.uv), sc_b,
+            jnp.asarray(b.descf), float(cam.width), float(cam.height),
+            iters=50)
+        idx_ab, match_valid, _score = match_from_scores(Z)
+        w = match_valid & jnp.asarray(a.valid3d)
+        res = R.ransac_pnp(
+            jnp.asarray(a.pts3d), jnp.asarray(b.uv)[idx_ab], w, cam, key,
+            iters=iters, reproj_px=jnp.float32(reproj_px),
+            min_inliers=min_inliers, guess=guess)
+        self._record_registration(res, int(jnp.sum(match_valid)))
+        if not bool(res.success):
+            return None, np.eye(6) * 9999.0, int(res.num_inliers)
+        return (np.asarray(res.transform), np.asarray(res.covariance),
+                int(res.num_inliers))
 
     def _compute_transform_flow(self, a: Signature, b: Signature,
                                 cam: C.CameraModel, cam_tuple, guess,

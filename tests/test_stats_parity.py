@@ -127,3 +127,28 @@ def test_bad_signature_skips_hypothesis():
                           stamp=float(i))
         if i >= 6:
             assert st.get("Loop/Highest hypothesis id/", 0) == 0
+
+
+def test_intermediate_nodes():
+    """Rtabmap/CreateIntermediateNodes: detection-rate-gated frames become
+    weight=-1 chain nodes (dense trajectory) excluded from hypotheses."""
+    p = Parameters()
+    p.set("Rtabmap/DetectionRate", 1.0)      # 1 Hz
+    p.set("Rtabmap/CreateIntermediateNodes", True)
+    poses = S.loop_trajectory(24)
+    slam = Rtabmap(CAM, p, node_capacity=64, words_per_frame=256)
+    ext = jax.jit(lambda g, d: extract_features(g, d, CAM, 256))
+    # 4 Hz input -> 3 of 4 frames gated
+    for i in range(16):
+        g, d = S.render(poses[i], CAM)
+        slam.process(ext(g, d), np.asarray(poses[i]), stamp=0.25 * (i + 1))
+    sigs = slam.memory.signatures
+    inter = [s for s in sigs.values() if s.weight < 0]
+    real = [s for s in sigs.values() if s.weight >= 0]
+    assert len(sigs) == 16                 # every frame became a node
+    assert len(inter) == 12 and len(real) == 4
+    # odometry chain fully connected through intermediates
+    for sid in range(2, 17):
+        assert (sid - 1) in sigs[sid].links, sid
+    # intermediates have no words and never become the hypothesis
+    assert all(int(np.sum(np.asarray(s.word_ids) >= 0)) == 0 for s in inter)

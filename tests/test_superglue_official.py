@@ -177,3 +177,96 @@ def test_match_decode_identity_case():
     idx, valid, sc = SGO.match_from_scores(Z)
     assert np.array_equal(np.asarray(idx), np.arange(K))
     assert np.asarray(valid).all()
+
+
+def _passthrough_params(num_layers=18):
+    """Analytically-constructed SuperGlue params that reduce the net to
+    pure descriptor similarity: encoder contributes 0, every GNN delta is
+    0, final projection is identity — isolates the matching/Sinkhorn/PnP
+    wiring from (unavailable) pretrained weights."""
+    import numpy as np
+
+    def lin(o, i, w=None, b=None):
+        return {"w": np.zeros((o, i), np.float32) if w is None else w,
+                "b": np.zeros((o,), np.float32) if b is None else b}
+
+    def bn(c):
+        return {"gamma": np.ones((c,), np.float32),
+                "beta": np.zeros((c,), np.float32),
+                "mean": np.zeros((c,), np.float32),
+                "var": np.ones((c,), np.float32)}
+
+    sizes = [(32, 3), (64, 32), (128, 64), (256, 128)]
+    kenc = {"blocks": [{"linear": lin(o, i), "bn": bn(o)}
+                       for o, i in sizes],
+            "final": lin(256, 256)}
+    layers = []
+    for _ in range(num_layers):
+        layers.append({
+            "q": lin(256, 256), "k": lin(256, 256), "v": lin(256, 256),
+            "out": lin(256, 256),
+            "mlp0": {"linear": lin(512, 512), "bn": bn(512)},
+            "mlp1": lin(256, 512),   # zero weights -> delta 0
+        })
+    return {"kenc": kenc, "gnn": {"layers": layers},
+            "final": lin(256, 256, w=np.eye(256, dtype=np.float32)),
+            "bin_score": 1.0}
+
+
+def test_superglue_registration_mode_recovers_transform():
+    """Vis/CorNNType=6 end-to-end in Memory.compute_transform: SuperGlue
+    assignment + PnP recovers the true transform when descriptors are
+    discriminative."""
+    import jax
+    import jax.numpy as jnp
+
+    from rtabmap_tpu.geometry import camera as C
+    from rtabmap_tpu.geometry import transform as T
+    from rtabmap_tpu.memory.memory import Memory
+    from rtabmap_tpu.core.frame import FrameFeatures
+    from rtabmap_tpu.utils.params import Parameters
+    from rtabmap_tpu.vocab.dictionary import DESC_DIM
+
+    CAM = C.CameraModel.make(300.0, 300.0, 160.0, 120.0, 320, 240)
+    p = Parameters({"Vis/CorNNType": 6})
+    mem = Memory(p, node_capacity=8, words_per_frame=64)
+    mem.set_superglue(_passthrough_params())
+
+    rng = np.random.default_rng(0)
+    K = 64
+    pts_a = rng.uniform([-1, -1, 2], [1, 1, 5], size=(K, 3)).astype(np.float32)
+    t_true = np.eye(3, 4, dtype=np.float32)
+    t_true[:, 3] = [0.2, -0.1, 0.1]
+    # B sees A's points through inv(T_ab)
+    import jax.numpy as jnp
+
+    xb = np.asarray(T.apply(T.inverse(jnp.asarray(t_true))[None],
+                            jnp.asarray(pts_a)[None])[0])
+    uv_b = np.stack([xb[:, 0] / xb[:, 2] * 300 + 160,
+                     xb[:, 1] / xb[:, 2] * 300 + 120], 1).astype(np.float32)
+    uv_a = np.stack([pts_a[:, 0] / pts_a[:, 2] * 300 + 160,
+                     pts_a[:, 1] / pts_a[:, 2] * 300 + 120], 1).astype(np.float32)
+    descf = (rng.standard_normal((K, 256)).astype(np.float32)) * 2
+    perm = rng.permutation(K)
+
+    def mk(uv, pts, df):
+        fr = FrameFeatures(
+            uv=jnp.asarray(uv),
+            desc=jnp.asarray(np.where(df[:, :DESC_DIM] > 0, 1, -1), jnp.int8),
+            pts3d=jnp.asarray(pts), valid=jnp.ones((K,), bool),
+            valid3d=jnp.ones((K,), bool), angle=jnp.zeros((K,)),
+            response=jnp.zeros((K,)))
+        s = mem.create_signature(fr, np.eye(3, 4, dtype=np.float32), 0.0)
+        s.descf = df
+        return s
+
+    a = mk(uv_a, pts_a, descf)
+    b = mk(uv_b[perm], xb[perm], descf[perm])  # shuffled: matcher must sort it
+    t_ab, cov, inl = mem.compute_transform(a.id, b.id, CAM,
+                                           jax.random.PRNGKey(0),
+                                           min_inliers=20)
+    assert t_ab is not None
+    err = float(jnp.linalg.norm(T.se3_log(
+        T.compose(T.inverse(jnp.asarray(t_ab)), jnp.asarray(t_true)))))
+    assert err < 0.03, err
+    assert inl >= 40
