@@ -42,6 +42,35 @@ from rtabmap_tpu.vocab.dictionary import adjust_likelihood, tfidf_likelihood
 log = get_logger("engine")
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("use_tfidf",))
+def _appearance_step(word_ids, node_words, lik_valid, word_nw, n_resident,
+                     nbr_idx, nbr_margin, wm_valid, posterior, kernel,
+                     vp_prior, use_tfidf: bool):
+    """FUSED appearance stage: likelihood -> Angeli adjustment -> Bayes
+    recursion -> hypothesis argmax as ONE device dispatch. The split
+    version pays one host<->device round trip per stage — through a
+    tunneled TPU (or any remote-offload deployment) the RTT dominates the
+    sub-ms kernels, so the whole stage ships as a single program and the
+    host fetches 3 scalars + the likelihood row in one transfer."""
+    from rtabmap_tpu.vocab.dictionary import (
+        adjust_likelihood, similarity_likelihood, tfidf_likelihood,
+    )
+
+    if use_tfidf:
+        lik = tfidf_likelihood(word_ids, node_words, lik_valid, word_nw,
+                               n_resident, word_nw.shape[0])
+    else:
+        lik = similarity_likelihood(word_ids, node_words, lik_valid)
+    adj, virt = adjust_likelihood(lik, lik_valid)
+    post = BF._predict_and_update(posterior, adj, virt, nbr_idx, nbr_margin,
+                                  wm_valid, kernel, vp_prior)
+    best_slot = jnp.argmax(post[:-1])
+    return post, adj, best_slot, post[best_slot], post[-1]
+
+
 def info_from_cov(cov: np.ndarray, min_var: float = 1e-6, max_var: float = 1e4) -> np.ndarray:
     """Robust 6x6 information from covariance: symmetrize + eigenvalue clip
     (the reference similarly bounds registration covariances before
@@ -366,17 +395,46 @@ class Rtabmap:
         hypothesis_id, hypothesis_value = 0, 0.0
         wm_ids = list(self.memory.wm)
         if wm_ids and not small_displacement and not too_fast and not bad_sig:
+            mem = self.memory
+            with st.time_stage("Timing/Posterior computation/ms"):
+                # host-side prep: STM mask + incremental neighbor table
+                stm_slots = [mem.get(i).slot for i in mem.stm
+                             if mem.get(i).slot >= 0]
+                lik_valid = np.asarray(mem.node_valid).copy()
+                for s in stm_slots:
+                    lik_valid[s] = False
+                depth = min(self.bayes.kernel.shape[0] - 2, 8)
+                tbl = mem.ensure_neighbor_table(depth, 2 * depth + 1)
+                nbr_idx, nbr_margin = tbl.flush()
+                wm_valid = np.zeros((mem.node_capacity,), bool)
+                for i in mem.wm:
+                    s = mem.get(i)
+                    if s.slot >= 0:
+                        wm_valid[s.slot] = True
             with st.time_stage("Timing/Likelihood computation/ms"):
-                lik, virt = self._compute_likelihood(sig)
+                # ONE dispatch for likelihood+adjust+Bayes+argmax, ONE
+                # fetch for everything the host needs this tick
+                post, adj, best_slot, best_post, vp = _appearance_step(
+                    jnp.asarray(sig.word_ids), mem.node_words,
+                    jnp.asarray(lik_valid), mem.word_nw,
+                    jnp.float32(mem.n_resident), jnp.asarray(nbr_idx),
+                    jnp.asarray(nbr_margin), jnp.asarray(wm_valid),
+                    self.bayes.posterior, self.bayes.kernel,
+                    self.bayes.vp_prior,
+                    use_tfidf=mem.tfidf_likelihood_used)
+                self.bayes.state = BF.BayesState(posterior=post)
+                best_slot, best_post, vp, lik_host = jax.device_get(
+                    (best_slot, best_post, vp, adj))
                 # kept for proximity path ranking (reference sorts nearest
                 # paths by likelihood, Rtabmap.cpp:2796)
-                self._last_likelihood = np.asarray(lik)
-            with st.time_stage("Timing/Posterior computation/ms"):
-                post = self._compute_posterior(lik, virt)
-            hypothesis_id, hypothesis_value = self._select_hypothesis(post)
+                self._last_likelihood = lik_host
+            sid = int(mem._slot_to_id[int(best_slot)])
+            if sid > 0 and float(best_post) > 0:
+                # value = 1 - P(virtual place) (reference Rtabmap.cpp:2157)
+                hypothesis_id, hypothesis_value = sid, float(1.0 - vp)
             st.add("Loop/Highest hypothesis id/", hypothesis_id)
             st.add("Loop/Highest hypothesis value/", hypothesis_value)
-            st.add("Loop/Vp hypothesis/", float(np.asarray(post)[-1]))
+            st.add("Loop/Vp hypothesis/", float(vp))
 
         # --- accept rules (reference order, Rtabmap.cpp:2185-2212: single
         # hypothesis -> epipolar verification -> loop ratio)

@@ -164,17 +164,21 @@ def _registration_kernel(desc_a, valid_a, pts_a, uv_a, desc_b, valid_b3d,
 
 
 @jax.jit
-def _slab_set(node_words, node_uv, node_pts, node_valid, slot, words, uv, pts, valid):
+def _slab_set(node_words, node_uv, node_pts, node_valid, word_nw,
+              slot, words, uv, pts, valid):
+    """Fused insert: slab rows + word reference counts in ONE dispatch
+    (each extra dispatch costs a full RTT on tunneled/remote chips)."""
     node_words = node_words.at[slot].set(words)
     node_uv = node_uv.at[slot].set(uv)
     node_pts = node_pts.at[slot].set(pts)
     node_valid = node_valid.at[slot].set(valid)
-    return node_words, node_uv, node_pts, node_valid
+    return node_words, node_uv, node_pts, node_valid, _nw_add(word_nw, words)
 
 
 @jax.jit
-def _slab_clear(node_words, node_valid, slot):
-    return node_words.at[slot].set(-1), node_valid.at[slot].set(False)
+def _slab_clear(node_words, node_valid, word_nw, slot, words):
+    return (node_words.at[slot].set(-1), node_valid.at[slot].set(False),
+            _nw_sub(word_nw, words))
 
 
 @jax.jit
@@ -355,12 +359,12 @@ class Memory:
         slot = self._free_slots.pop()
         sig.slot = slot
         self._slot_to_id[slot] = sig.id
-        self.node_words, self.node_uv, self.node_pts, self.node_valid = _slab_set(
+        (self.node_words, self.node_uv, self.node_pts, self.node_valid,
+         self.word_nw) = _slab_set(
             self.node_words, self.node_uv, self.node_pts, self.node_valid,
-            slot, jnp.asarray(sig.word_ids), jnp.asarray(sig.uv),
-            jnp.asarray(sig.pts3d), True,
+            self.word_nw, slot, jnp.asarray(sig.word_ids),
+            jnp.asarray(sig.uv), jnp.asarray(sig.pts3d), True,
         )
-        self.word_nw = _nw_add(self.word_nw, jnp.asarray(sig.word_ids))
         if self._nbr_table is not None:
             self._nbr_table.add_node(slot)
             for j, lk in sig.links.items():
@@ -374,10 +378,10 @@ class Memory:
             return
         if self._nbr_table is not None:
             self._nbr_table.remove_node(sig.slot)
-        self.node_words, self.node_valid = _slab_clear(
-            self.node_words, self.node_valid, sig.slot
+        self.node_words, self.node_valid, self.word_nw = _slab_clear(
+            self.node_words, self.node_valid, self.word_nw, sig.slot,
+            jnp.asarray(sig.word_ids),
         )
-        self.word_nw = _nw_sub(self.word_nw, jnp.asarray(sig.word_ids))
         self._slot_to_id[sig.slot] = -1
         self._free_slots.append(sig.slot)
         sig.slot = -1
