@@ -37,7 +37,7 @@ from rtabmap_tpu.memory.memory import (
 from rtabmap_tpu.optim import pose_graph as PG
 from rtabmap_tpu.utils.logging import Statistics, Timer, get_logger
 from rtabmap_tpu.utils.params import Parameters
-from rtabmap_tpu.vocab.dictionary import adjust_likelihood, tfidf_likelihood
+
 
 log = get_logger("engine")
 
@@ -782,59 +782,7 @@ class Rtabmap:
                                                np.stack(gt)).items():
                     st.add(k, v)
 
-    # ------------------------------------------------------------- likelihood
-    def _compute_likelihood(self, sig: Signature):
-        mem = self.memory
-        # mask STM + current signature out of the likelihood targets
-        # (reference computes likelihood over WM only)
-        stm_slots = [mem.get(i).slot for i in mem.stm if mem.get(i).slot >= 0]
-        valid = np.asarray(mem.node_valid).copy()
-        for s in stm_slots:
-            valid[s] = False
-        if mem.tfidf_likelihood_used:
-            lik = tfidf_likelihood(
-                jnp.asarray(sig.word_ids), mem.node_words,
-                jnp.asarray(valid), mem.word_nw,
-                jnp.float32(mem.n_resident), mem.vocab.capacity,
-            )
-        else:
-            # Kp/TfIdfLikelihoodUsed=false: raw shared-unique-word
-            # similarity (the 2010-2013 papers' likelihood)
-            from rtabmap_tpu.vocab.dictionary import similarity_likelihood
-
-            lik = similarity_likelihood(
-                jnp.asarray(sig.word_ids), mem.node_words,
-                jnp.asarray(valid))
-        adj, virt = adjust_likelihood(lik, jnp.asarray(valid))
-        return adj, virt
-
-    def _compute_posterior(self, lik, virt):
-        mem = self.memory
-        depth = min(self.bayes.kernel.shape[0] - 2, 8)
-        # incremental: only BFS rows touched by this tick's graph changes
-        # are recomputed (vs a full O(N) rebuild per tick)
-        tbl = mem.ensure_neighbor_table(depth, 2 * depth + 1)
-        nbr_idx, nbr_margin = tbl.flush()
-        wm_valid = np.zeros((mem.node_capacity,), bool)
-        for i in mem.wm:
-            s = mem.get(i)
-            if s.slot >= 0:
-                wm_valid[s.slot] = True
-        return self.bayes.update(
-            lik, virt, jnp.asarray(nbr_idx), jnp.asarray(nbr_margin),
-            jnp.asarray(wm_valid),
-        )
-
-    def _select_hypothesis(self, post) -> Tuple[int, float]:
-        p = np.asarray(post)
-        mem = self.memory
-        slot = int(p[:-1].argmax())
-        sid = int(mem._slot_to_id[slot])
-        if sid <= 0 or p[slot] <= 0:
-            return 0, 0.0
-        # value = 1 - P(virtual place) (reference Rtabmap.cpp:2157)
-        return sid, float(1.0 - p[-1])
-
+    # ---------------------------------------------------------- verification
     def _verify_hypothesis_ep(self, sig: Signature, hyp_id: int,
                               st: Statistics) -> bool:
         """Epipolar verification of the loop hypothesis (reference:
