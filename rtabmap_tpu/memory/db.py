@@ -414,6 +414,16 @@ class Database:
         with self._lock:
             return [r[0] for r in self._conn.execute("SELECT id FROM Node ORDER BY id")]
 
+    def node_infos(self) -> List[Dict]:
+        """Light per-node header rows (no Data blobs) — the analogue of
+        DBDriver::getNodeInfo over all ids (used by the Report tool)."""
+        with self._lock:
+            rows = self._conn.execute(
+                "SELECT id,map_id,weight,stamp,pose,ground_truth"
+                " FROM Node ORDER BY id").fetchall()
+        return [{"id": r[0], "map_id": r[1], "weight": r[2], "stamp": r[3],
+                 "pose": _unpack(r[4]), "gt": _unpack(r[5])} for r in rows]
+
     def delete_node(self, sid: int) -> None:
         """Remove a node's rows entirely (Node/Data/Statistics + touching
         links) so a deleted location stays deleted after resume."""

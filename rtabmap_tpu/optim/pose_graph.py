@@ -360,3 +360,90 @@ def optimize(g: PoseGraph, iters: int = 20, robust: bool = False,
                               switch_mask=switch_mask, dcs_phi=dcs_phi)
     return optimize_pcg(g, iters=iters, robust=robust,
                         switch_mask=switch_mask, dcs_phi=dcs_phi)
+
+
+def optimize_poses_dict(poses, links, root_id=None, iters: int = 12,
+                        robust: bool = False):
+    """Offline pose-graph solve over python dicts (the tool-side entry the
+    reference exposes through ``Optimizer::optimize`` after
+    ``getConnectedGraph`` — tools/Report/main.cpp:943, Reprocess, the
+    DatabaseViewer refine path).
+
+    ``poses``: {id: (3,4) pose}; ``links``: iterable with
+    ``from_id/to_id/type/transform/information`` fields.  Landmark links
+    (negative ``to_id``) instantiate the landmark node at ``from ∘ t`` when
+    absent, as the reference does (Report/main.cpp:929-941).  Only the
+    connected component containing ``root_id`` (default: smallest id) is
+    optimized; everything else is returned untouched.  Node/edge slabs are
+    padded to pow2 buckets so repeated calls reuse compiled shapes.
+    """
+    import numpy as np
+
+    from rtabmap_tpu.memory.memory import LINK_LANDMARK, LINK_POSE_PRIOR
+
+    poses = dict(poses)
+    edges = []
+    seen = set()
+    for lk in links:
+        if lk.type == LINK_POSE_PRIOR or lk.transform is None:
+            continue
+        key = (min(lk.from_id, lk.to_id), max(lk.from_id, lk.to_id), lk.type)
+        if key in seen or lk.from_id == lk.to_id:
+            continue
+        seen.add(key)
+        if lk.type == LINK_LANDMARK and lk.to_id not in poses \
+                and lk.from_id in poses:
+            poses[lk.to_id] = np.asarray(
+                T.compose(jnp.asarray(poses[lk.from_id], jnp.float32),
+                          jnp.asarray(lk.transform, jnp.float32)))
+        if lk.from_id in poses and lk.to_id in poses:
+            edges.append(lk)
+    if not poses:
+        return {}
+    # connected component containing the root
+    adj = {}
+    for lk in edges:
+        adj.setdefault(lk.from_id, []).append(lk.to_id)
+        adj.setdefault(lk.to_id, []).append(lk.from_id)
+    root = root_id if root_id in poses else min(poses)
+    comp = {root}
+    stack = [root]
+    while stack:
+        for nb in adj.get(stack.pop(), []):
+            if nb not in comp:
+                comp.add(nb)
+                stack.append(nb)
+    ids = sorted(i for i in comp if i >= 0) + sorted(i for i in comp if i < 0)
+    if len(ids) < 2:
+        return poses
+    index = {i: k for k, i in enumerate(ids)}
+    edges = [lk for lk in edges if lk.from_id in comp and lk.to_id in comp]
+    if not edges:
+        return poses
+    N, E = len(ids), len(edges)
+    Np = 1 << max(N - 1, 1).bit_length()
+    Ep = 1 << max(E - 1, 1).bit_length()
+    P = np.tile(np.eye(3, 4, dtype=np.float32), (Np, 1, 1))
+    for i in ids:
+        P[index[i]] = np.asarray(poses[i], np.float32)
+    ef = np.zeros((Ep,), np.int32)
+    et = np.zeros((Ep,), np.int32)
+    meas = np.tile(np.eye(3, 4, dtype=np.float32), (Ep, 1, 1))
+    info = np.tile(np.eye(6, dtype=np.float32)[None], (Ep, 1, 1))
+    for k, lk in enumerate(edges):
+        ef[k] = index[lk.from_id]
+        et[k] = index[lk.to_id]
+        meas[k] = np.asarray(lk.transform, np.float32)
+        if lk.information is not None:
+            info[k] = np.asarray(lk.information, np.float32)
+    g = make_graph(jnp.asarray(P), jnp.asarray(ef), jnp.asarray(et),
+                   jnp.asarray(meas), jnp.asarray(info),
+                   node_valid=jnp.asarray(np.arange(Np) < N),
+                   edge_valid=jnp.asarray(np.arange(Ep) < E),
+                   root=index[root])
+    out, _chi2 = optimize(g, iters=iters, robust=robust)
+    solved = np.asarray(out.poses)
+    result = dict(poses)
+    for i in ids:
+        result[i] = solved[index[i]]
+    return result

@@ -109,22 +109,12 @@ def tool_info(argv: List[str]):
 
 
 def tool_report(argv: List[str]):
-    """Statistics report from map stores (reference: tools/Report/main.cpp)."""
-    from rtabmap_tpu.memory.db import Database
+    """Evaluation report over map stores (reference: tools/Report/main.cpp
+    — re-optimization + gt ATE/KITTI/relative/loop errors, pose exports,
+    report.csv, LaTeX, per-session localization stats; see tools/report.py)."""
+    from rtabmap_tpu.tools.report import run_report
 
-    for path in argv:
-        db = Database(path, async_writes=False)
-        stats = db.load_statistics()
-        db.close()
-        if not stats:
-            print(f"{path}: no statistics")
-            continue
-        keys = sorted({k for s in stats for k in s if k not in ("id", "stamp")})
-        print(f"\n=== {path} ({len(stats)} ticks) ===")
-        for k in keys:
-            vals = np.asarray([s[k] for s in stats if k in s])
-            print(f"  {k}: mean={vals.mean():.3f} max={vals.max():.3f}")
-    return None
+    return run_report(argv)
 
 
 def tool_reprocess(argv: List[str]):
