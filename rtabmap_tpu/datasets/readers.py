@@ -41,6 +41,10 @@ class Frame:
     depth: Optional[np.ndarray] = None
     right: Optional[np.ndarray] = None
     gt_pose: Optional[np.ndarray] = None  # (3,4)
+    odom_pose: Optional[np.ndarray] = None  # (3,4) external odometry (e.g.
+    # wheel dead-reckoning — CidSimsDataset --odom, setOdometryPath)
+    imu: Optional[List] = None  # [(stamp, gyro(3,), accel(3,))] samples
+    # since the previous frame (SensorCaptureThread IMU filtering input)
 
 
 # ------------------------------------------------------------------ TUM RGB-D
@@ -235,3 +239,134 @@ class EurocDataset:
                 if abs(self.gt[j][0] - stamp) < 0.05:
                     pose = self.gt[j][1]
             yield Frame(stamp=stamp, gray=gray, right=right, gt_pose=pose)
+
+
+# ----------------------------------------------------------------- CID-SIMS
+
+
+class CidSimsDataset:
+    """CID-SIMS ground-robot RGB-D sequences.
+
+    Capability parity: tools/CidSimsDataset/main.cpp — layout is
+    ``color/``+``depth/`` directories of stamp-named images (main.cpp:163),
+    ``groundtruth.txt`` in TUM format, ``odom.txt`` with 14-column wheel
+    velocity rows dead-reckoned into planar odometry poses (vx at column 8,
+    vtheta at column 13 — main.cpp:189-223), and ``imu.txt`` gyro+accel
+    samples for Madgwick/complementary gravity alignment (main.cpp:232).
+    Fixed RealSense calibration from the published calibration.yaml
+    (main.cpp:272).
+    """
+
+    CALIB = (386.52199190267083, 387.32300428823663,
+             326.5103569741365, 237.40293732598795)
+
+    def __init__(self, root: str, depth_factor: float = 1000.0,
+                 use_odom: bool = False, use_imu: bool = False,
+                 max_time_diff: float = 0.1):
+        self.root = root
+        self.depth_factor = depth_factor
+        self.max_time_diff = max_time_diff
+
+        def stamped_dir(sub):
+            d = os.path.join(root, sub)
+            out = []
+            for name in sorted(os.listdir(d)):
+                stem = os.path.splitext(name)[0]
+                try:
+                    out.append((float(stem), os.path.join(sub, name)))
+                except ValueError:
+                    continue
+            return out
+
+        color = stamped_dir("color")
+        depth = stamped_dir("depth")
+        self.pairs = _associate(color, depth, max_dt=max_time_diff)
+        if not self.pairs:
+            raise FileNotFoundError(f"no associated color/depth in {root}")
+        gt_path = os.path.join(root, "groundtruth.txt")
+        self.gt = _read_tum_gt(gt_path) if os.path.exists(gt_path) else []
+
+        # wheel odometry: dead-reckon the 14-column velocity rows
+        self.odom: List[Tuple[float, np.ndarray]] = []
+        odom_path = os.path.join(root, "odom.txt")
+        if use_odom and os.path.exists(odom_path):
+            x = y = theta = 0.0
+            prev = None
+            with open(odom_path) as f:
+                for line in f:
+                    vals = line.replace(",", " ").split()
+                    if len(vals) != 14:
+                        continue
+                    stamp = float(vals[0])
+                    if prev is None:
+                        prev = stamp
+                    dt = stamp - prev
+                    vx, vtheta = float(vals[8]), float(vals[13])
+                    x += vx * np.cos(theta) * dt
+                    y += vx * np.sin(theta) * dt
+                    theta += vtheta * dt
+                    prev = stamp
+                    c, s = np.cos(theta), np.sin(theta)
+                    pose = np.asarray([[c, -s, 0, x], [s, c, 0, y],
+                                       [0, 0, 1, 0]], np.float32)
+                    self.odom.append((stamp, pose))
+
+        self.imu: List[Tuple[float, np.ndarray, np.ndarray]] = []
+        imu_path = os.path.join(root, "imu.txt")
+        if use_imu and os.path.exists(imu_path):
+            with open(imu_path) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line or line.startswith("#"):
+                        continue
+                    vals = [float(v) for v in line.replace(",", " ").split()]
+                    if len(vals) < 7:
+                        continue
+                    self.imu.append((vals[0],
+                                     np.asarray(vals[1:4], np.float32),
+                                     np.asarray(vals[4:7], np.float32)))
+
+        g0 = _load_gray(os.path.join(root, self.pairs[0][1]))
+        H, W = g0.shape
+        fx, fy, cx, cy = self.CALIB
+        # published calibration is for 640x480; scale to the actual size
+        sx, sy = W / 640.0, H / 480.0
+        self.camera = C.CameraModel.make(fx * sx, fy * sy, cx * sx, cy * sy,
+                                         W, H)
+        self._first = g0
+
+    def __len__(self):
+        return len(self.pairs)
+
+    def __iter__(self) -> Iterator[Frame]:
+        j = k = m = 0
+        prev_imu_cut = -np.inf
+        for i, (stamp, rgb_rel, depth_rel) in enumerate(self.pairs):
+            gray = self._first if i == 0 \
+                else _load_gray(os.path.join(self.root, rgb_rel))
+            depth = _load_depth_png(os.path.join(self.root, depth_rel),
+                                    self.depth_factor)
+            pose = None
+            if self.gt:
+                while j + 1 < len(self.gt) and \
+                        abs(self.gt[j + 1][0] - stamp) <= abs(self.gt[j][0] - stamp):
+                    j += 1
+                if abs(self.gt[j][0] - stamp) < self.max_time_diff:
+                    pose = self.gt[j][1]
+            odom_pose = None
+            if self.odom:
+                while k + 1 < len(self.odom) and \
+                        abs(self.odom[k + 1][0] - stamp) <= abs(self.odom[k][0] - stamp):
+                    k += 1
+                if abs(self.odom[k][0] - stamp) < self.max_time_diff:
+                    odom_pose = self.odom[k][1]
+            imu_batch = None
+            if self.imu:
+                imu_batch = []
+                while m < len(self.imu) and self.imu[m][0] <= stamp:
+                    if self.imu[m][0] > prev_imu_cut:
+                        imu_batch.append(self.imu[m])
+                    m += 1
+                prev_imu_cut = stamp
+            yield Frame(stamp=stamp, gray=gray, depth=depth, gt_pose=pose,
+                        odom_pose=odom_pose, imu=imu_batch)

@@ -84,6 +84,62 @@ def tool_euroc_dataset(argv: List[str]):
     return out
 
 
+def tool_cid_sims_dataset(argv: List[str]):
+    """CID-SIMS ground-robot RGB-D benchmark (reference:
+    tools/CidSimsDataset/main.cpp — color/+depth/ stamped layout,
+    --gt groundtruth.txt, --odom wheel dead-reckoning fallback,
+    --imu 0|1 Madgwick/complementary gravity alignment).
+
+    Usage: cid_sims_dataset [--gt] [--odom] [--imu 0|1]
+           [--max_time_diff S] <path> [out_db] [max_frames]"""
+    from rtabmap_tpu.datasets.readers import CidSimsDataset
+    from rtabmap_tpu.memory.db import Database
+    from rtabmap_tpu.tools.dataset_runner import run_dataset
+    from rtabmap_tpu.utils.params import Parameters
+
+    params, rest = Parameters.parse_arguments(argv)
+    use_gt = use_odom = False
+    imu_filter = -1
+    max_time_diff = 0.1
+    pos = []
+    i = 0
+    while i < len(rest):
+        a = rest[i]
+        if a == "--gt":
+            use_gt = True
+        elif a == "--odom":
+            use_odom = True
+        elif a == "--imu":
+            i += 1
+            imu_filter = int(rest[i])
+        elif a == "--max_time_diff":
+            i += 1
+            max_time_diff = float(rest[i])
+        elif a == "--quiet":
+            pass
+        else:
+            pos.append(a)
+        i += 1
+    root = pos[0]
+    out_db = pos[1] if len(pos) > 1 else None
+    max_frames = int(pos[2]) if len(pos) > 2 else 0
+    ds = CidSimsDataset(root, use_odom=use_odom, use_imu=imu_filter >= 0,
+                        max_time_diff=max_time_diff)
+    if not use_gt:
+        ds.gt = []
+    db = Database(out_db) if out_db else None
+    out = run_dataset(
+        iter(ds), ds.camera, params, db=db, max_frames=max_frames,
+        imu_method="madgwick" if imu_filter != 1 else "complementary")
+    if "ate_slam" in out:
+        print(f"ATE RMSE (slam): {out['ate_slam']:.4f} m")
+        print(f"ATE RMSE (odom): {out['ate_odom']:.4f} m")
+    if db:
+        out["slam"].close()
+        db.close()
+    return out
+
+
 def tool_info(argv: List[str]):
     """Map store summary (reference: tools/Info/main.cpp)."""
     from rtabmap_tpu.memory.db import Database
@@ -1111,6 +1167,7 @@ TOOLS = {
     "rgbd_dataset": tool_rgbd_dataset,
     "kitti_dataset": tool_kitti_dataset,
     "euroc_dataset": tool_euroc_dataset,
+    "cid_sims_dataset": tool_cid_sims_dataset,
     "info": tool_info,
     "report": tool_report,
     "reprocess": tool_reprocess,

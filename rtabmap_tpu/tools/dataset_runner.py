@@ -16,7 +16,8 @@ import numpy as np
 def run_dataset(frames: Iterable, camera, params=None, stereo_model=None,
                 max_kp: int = 512, node_capacity: int = 1024,
                 db=None, verbose: bool = True,
-                max_frames: int = 0, kitti_errors: bool = False) -> Dict:
+                max_frames: int = 0, kitti_errors: bool = False,
+                imu_method: str = "madgwick") -> Dict:
     """Run odometry+SLAM over frames; returns metrics + trajectories."""
     import jax
     import jax.numpy as jnp
@@ -48,6 +49,13 @@ def run_dataset(frames: Iterable, camera, params=None, stereo_model=None,
 
     est_odom, est_stamps, gt_poses = [], [], []
     n_loops = n_lost = 0
+    # IMU gravity alignment (SensorCaptureThread::enableIMUFiltering):
+    # per-frame sample batches are zero-padded to one static shape so the
+    # Madgwick/complementary scan jits once
+    IMU_PAD = 64
+    imu_q = None
+    prev_imu_t = None
+    prev_wheel = None  # external-odometry fallback (CidSims --odom)
     t0 = time.time()
     with profile_trace(str(p["Tpu/ProfileDir"])):
         for i, fr in enumerate(frames):
@@ -61,10 +69,43 @@ def run_dataset(frames: Iterable, camera, params=None, stereo_model=None,
                     feat = extract_stereo(gray, jnp.asarray(fr.right))
                 else:
                     raise ValueError("frame has neither depth nor right image")
-                pose, cov, info = odom.process(feat)
+                imu_quat = None
+                if fr.imu:
+                    from rtabmap_tpu.odometry.imu_filter import integrate_imu
+
+                    n_s = min(len(fr.imu), IMU_PAD)
+                    g_b = np.zeros((IMU_PAD, 3), np.float32)
+                    a_b = np.zeros((IMU_PAD, 3), np.float32)
+                    dt_b = np.zeros((IMU_PAD,), np.float32)
+                    for s_i, (ts, gy, ac) in enumerate(fr.imu[:IMU_PAD]):
+                        dt_b[s_i] = max(ts - prev_imu_t, 0.0) \
+                            if prev_imu_t is not None else 0.0
+                        prev_imu_t = ts
+                        g_b[s_i], a_b[s_i] = gy, ac
+                    qs = integrate_imu(jnp.asarray(g_b), jnp.asarray(a_b),
+                                       jnp.asarray(dt_b),
+                                       q0=imu_q, method=imu_method)
+                    imu_q = qs[n_s - 1]
+                    imu_quat = imu_q
+                pose, cov, info = odom.process(feat, imu_quat=imu_quat)
                 if pose is None:
                     n_lost += 1
-                    pose, cov = odom.pose, np.eye(6) * 9999.0
+                    if fr.odom_pose is not None and prev_wheel is not None \
+                            and est_odom:
+                        # re-seed VO from the external (wheel) odometry delta
+                        # (CidSimsDataset --odom: setOdometryPath guess role)
+                        from rtabmap_tpu.geometry import transform as T
+
+                        delta = T.relative(jnp.asarray(prev_wheel),
+                                           jnp.asarray(fr.odom_pose))
+                        pose = np.asarray(T.compose(
+                            jnp.asarray(est_odom[-1]), delta))
+                        odom.reset(pose)
+                        cov = np.eye(6) * 9999.0
+                    else:
+                        pose, cov = odom.pose, np.eye(6) * 9999.0
+                if fr.odom_pose is not None:
+                    prev_wheel = fr.odom_pose
                 st = slam.process(
                     feat, np.asarray(pose), np.asarray(cov), stamp=fr.stamp,
                     gt_pose=fr.gt_pose,
