@@ -157,6 +157,7 @@ class Rtabmap:
         self._last_process_stamp = -1e9
         self._last_pose: Optional[np.ndarray] = None
         self._distance_travelled: float = 0.0
+        self._distance_at_last_loc: float = 0.0
         self._key = jax.random.PRNGKey(seed)
         self.stats_history: List[Statistics] = []
 
@@ -274,7 +275,11 @@ class Rtabmap:
         # --- B. memory update
         with st.time_stage("Timing/Memory update/ms"):
             prev_id = self.memory.stm[-1] if self.memory.stm else None
-            sig = self.memory.create_signature(frame, odom_pose, stamp)
+            with st.time_stage("TimingMem/Signature creation/ms"):
+                sig = self.memory.create_signature(frame, odom_pose, stamp)
+            if sig.valid3d is not None:
+                st.add("Memory/Triangulated points/",
+                       float(np.sum(np.asarray(sig.valid3d))))
             sig.scan = scan
             sig.user_data = user_data
             sig.grid = grid
@@ -318,10 +323,27 @@ class Rtabmap:
                         and prev.scan is not None):
                     from rtabmap_tpu.ops.icp import register_scans
 
-                    res, icp_cov = register_scans(
-                        scan.xyz(), scan.valid, prev.scan.xyz(),
-                        prev.scan.valid, guess=jnp.asarray(t_ab))
-                    if bool(res.valid):
+                    with st.time_stage("Timing/Neighbor link refining/ms"):
+                        res, icp_cov = register_scans(
+                            scan.xyz(), scan.valid, prev.scan.xyz(),
+                            prev.scan.valid, guess=jnp.asarray(t_ab))
+                    accepted = bool(res.valid)
+                    st.add("NeighborLinkRefining/Accepted/", float(accepted))
+                    st.add("NeighborLinkRefining/ICP inliers ratio/",
+                           float(res.correspondence_ratio))
+                    st.add("NeighborLinkRefining/Pts/",
+                           float(jnp.sum(scan.valid)))
+                    if accepted:
+                        # deviation of the refined link from raw odometry
+                        # (reference Rtabmap.cpp:1697-1702)
+                        dev = T.relative(jnp.asarray(t_ab),
+                                         jnp.asarray(res.transform))
+                        st.add("NeighborLinkRefining/ICP translation/m",
+                               float(T.translation_norm(dev)))
+                        st.add("NeighborLinkRefining/ICP rotation/rad",
+                               float(T.rotation_angle(dev)))
+                        st.add("NeighborLinkRefining/Variance/",
+                               float(jnp.max(jnp.diagonal(icp_cov))))
                         t_ab = np.asarray(res.transform)
                         link_cov = np.asarray(icp_cov)
                         st.add("Odometry/Refined by scan/", 1)
@@ -331,7 +353,8 @@ class Rtabmap:
             # rehearsal AFTER STM insert so the odometry link exists and a
             # full merge can happen (reference: Memory::update order,
             # Memory.cpp:1018 — addSignatureToStm then rehearsal)
-            merged_id = self.memory.rehearsal(sig)
+            with st.time_stage("TimingMem/Rehearsal/ms"):
+                merged_id = self.memory.rehearsal(sig)
             if merged_id and merged_id != sig.id:
                 # current node merged away — continue the tick on the
                 # surviving node (reference: _lastSignature = oldS)
@@ -384,6 +407,8 @@ class Rtabmap:
         st.add("Memory/Fast movement/", float(too_fast))
         st.add("Memory/Small movement/", float(small_displacement))
         st.add("Memory/Distance travelled/m", self._distance_travelled)
+        st.add("Loop/Distance since last loc/m",
+               self._distance_travelled - self._distance_at_last_loc)
         st.add("Memory/Odometry variance lin/", float(cov[0, 0]))
         st.add("Memory/Odometry variance ang/", float(cov[5, 5]))
 
@@ -461,6 +486,7 @@ class Rtabmap:
                   (self.last_hypothesis[1] == 0.0 or
                    hypothesis_value < self.loop_ratio * self.last_hypothesis[1])):
                 log.debug("rejected hypothesis: loop ratio")
+                st.add("Loop/Suppressed hypothesis id/", hypothesis_id)
             else:
                 accepted_id = hypothesis_id
         st.add("Loop/Accepted hypothesis id/", accepted_id)
@@ -547,7 +573,7 @@ class Rtabmap:
         # --- F. proximity detection (local space closures)
         if self.rgbd_mode and not small_displacement and self.local_radius > 0:
             with st.time_stage("Timing/Proximity by space/ms"):
-                prox_links = self._proximity_detection(sig)
+                prox_links = self._proximity_detection(sig, st)
                 links_added.extend(prox_links)
                 st.add("Proximity/Space links added/", len(prox_links))
                 n_paths, n_checked = getattr(self, "_last_prox_path_stats",
@@ -561,6 +587,10 @@ class Rtabmap:
                 if prox_links:
                     st.add("Proximity/Space last detection id/",
                            prox_links[-1].from_id)
+                closest = getattr(self, "_last_closest_node", None)
+                if closest is not None:
+                    st.add("Memory/Closest node distance/m", closest[0])
+                    st.add("Memory/Closest node angle/rad", closest[1])
 
         # --- H. landmark closures (reference: Rtabmap.cpp:3203 stage H —
         # fiducial markers become negative-id graph nodes; re-observing a
@@ -655,7 +685,8 @@ class Rtabmap:
 
         # --- K. transfer (WM -> LTM)
         with st.time_stage("Timing/Memory cleanup/ms"):
-            self._transfer(st, timer.elapsed() * 1000.0)
+            with st.time_stage("Timing/Forgetting/ms"):
+                self._transfer(st, timer.elapsed() * 1000.0)
 
         # --- J/L statistics
         st.ref_id = sig.id
@@ -683,6 +714,11 @@ class Rtabmap:
         st.add("Loop/Id/", accepted_id)
         st.add("Loop/Map id/", sig.map_id)
         st.add("Loop/Last id/", self.loop_closure_id)
+        if accepted_id > 0 or st.get("Loop/Localized/") > 0 \
+                or st.get("Proximity/Space links added/") > 0:
+            # a (re)localization event resets the odometer for
+            # Loop/Distance since last loc (Rtabmap.cpp:2545)
+            self._distance_at_last_loc = self._distance_travelled
         if self.memory.db is not None and getattr(self.memory.db, "path", None):
             import os as _os
 
@@ -879,13 +915,15 @@ class Rtabmap:
             paths.append(comp)
         return paths
 
-    def _proximity_detection(self, sig: Signature) -> List[Link]:
+    def _proximity_detection(self, sig: Signature,
+                             st: Optional[Statistics] = None) -> List[Link]:
         """Find old nodes within RGBD/LocalRadius of the current optimized
         pose, segment them into paths, and register against the most
         likely node of each of the top RGBD/ProximityMaxPaths paths —
         adding one space closure PER PATH (reference: Rtabmap.cpp:2677-3130;
         path clustering :2793-2830, per-path registration :2828-2920)."""
         mem = self.memory
+        _t_search = time.perf_counter()
         cur_pose = self.optimized_poses.get(sig.id)
         if cur_pose is None:
             cur_pose = np.asarray(
@@ -907,6 +945,14 @@ class Rtabmap:
                 cands.append((d, i))
         cands.sort()
         dist_by_id = {i: d for d, i in cands}
+        if cands:
+            d0, i0 = cands[0]
+            ang = float(T.rotation_angle(T.relative(
+                jnp.asarray(cur_pose),
+                jnp.asarray(self.optimized_poses[i0]))))
+            self._last_closest_node = (d0, ang)
+        else:
+            self._last_closest_node = None
 
         def lik_of(i: int) -> float:
             s = mem.get(i)
@@ -925,6 +971,10 @@ class Rtabmap:
                 filtering_radius <= 0 or
                 self.max_loop_closure_distance < filtering_radius):
             filtering_radius = self.max_loop_closure_distance
+        if st is not None:
+            st.add("Timing/Proximity by space search/ms",
+                   (time.perf_counter() - _t_search) * 1000.0)
+        _t_vis = time.perf_counter()
         out: List[Link] = []
         checked = 0
         for pth in paths:
@@ -959,6 +1009,9 @@ class Rtabmap:
                 out.append(lk)
                 self.last_proximity_id = i
         self._last_prox_path_stats = (len(paths), checked)
+        if st is not None:
+            st.add("Timing/Proximity by space visual/ms",
+                   (time.perf_counter() - _t_vis) * 1000.0)
 
         # scan-matching proximity vs the ASSEMBLED local scan map of the
         # nearby path (reference: Memory::computeIcpTransformMulti,
@@ -1301,6 +1354,27 @@ class Rtabmap:
         if len(ef):
             st.add("Loop/Optimization max ang error ratio/",
                    float(jnp.max(ang_ratio)))
+            # absolute max errors + offending edge endpoints (reference:
+            # Rtabmap.cpp:4430-4460 maxLinearError/maxAngularError block)
+            rel = jax.vmap(T.relative)(out.poses[out.edges_from],
+                                       out.poses[out.edges_to])
+            dlin = jnp.max(jnp.abs(T.translation(rel)
+                                   - T.translation(out.edges_meas)), axis=-1)
+            dang = jax.vmap(lambda a, b: T.rotation_angle(
+                T.compose(T.inverse(a), b)))(out.edges_meas, rel)
+            k_lin = int(jnp.argmax(jnp.where(out.edge_valid, dlin, -1.0)))
+            k_ang = int(jnp.argmax(jnp.where(out.edge_valid, dang, -1.0)))
+            st.add("Loop/Optimization max error/m", float(dlin[k_lin]))
+            st.add("Loop/Optimization max ang error/deg",
+                   float(np.degrees(float(dang[k_ang]))))
+            st.add("Loop/Optimization max error from id/",
+                   float(ids[int(ef[k_lin])]))
+            st.add("Loop/Optimization max error to id/",
+                   float(ids[int(et[k_lin])]))
+            st.add("Loop/Optimization max ang error from id/",
+                   float(ids[int(ef[k_ang])]))
+            st.add("Loop/Optimization max ang error to id/",
+                   float(ids[int(et[k_ang])]))
         st.add("Loop/Optimization error/", float(chi2))
         st.add("Loop/Optimization iterations/", 12)
 

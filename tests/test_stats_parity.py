@@ -48,6 +48,17 @@ def test_registry_name_subset_emitted():
         "Proximity/Space paths/", "Proximity/Space visual paths checked/",
         "Loop/Optimization error/", "Loop/Optimization iterations/",
         "Timing/Statistics creation/ms",
+        # round-3 additions
+        "Loop/Optimization max error/m", "Loop/Optimization max ang error/deg",
+        "Loop/Optimization max error from id/",
+        "Loop/Optimization max error to id/",
+        "Loop/Distance since last loc/m",
+        "Memory/Triangulated points/",
+        "Memory/Closest node distance/m", "Memory/Closest node angle/rad",
+        "Timing/Proximity by space search/ms",
+        "Timing/Proximity by space visual/ms",
+        "Timing/Forgetting/ms",
+        "TimingMem/Signature creation/ms", "TimingMem/Rehearsal/ms",
     }
     missing = must_have - emitted
     assert not missing, missing
@@ -57,8 +68,8 @@ def test_registry_name_subset_emitted():
     extensions = {"Proximity/Space links added/",   # our summary counter
                   "Proximity/Time links added/"}
     assert fam - extensions <= registry, fam - extensions - registry
-    # coverage count keeps ratcheting up (round-3 floor)
-    assert len(emitted & registry) >= 55, len(emitted & registry)
+    # coverage count keeps ratcheting up (round-3 floor: 101/163 live)
+    assert len(emitted & registry) >= 95, len(emitted & registry)
 
 
 def test_gt_stats_zero_for_perfect_odometry():
