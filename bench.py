@@ -219,6 +219,21 @@ def bench_fleet_tick(batch: int = 32, repeats: int = 3):
 
 def main():
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(_cache))
+    import signal
+    import sys
+
+    # Hang watchdog: the tunneled TPU platform can wedge on backend init /
+    # first compile (observed in-round); convert an indefinite hang into a
+    # clean failure so the harness gets a diagnosis instead of a timeout.
+    def _alarm(signum, frame):
+        sys.stderr.write("bench: TPU backend unresponsive (watchdog fired) "
+                         "— no measurement taken this run\n")
+        sys.stderr.flush()
+        os._exit(2)
+
+    signal.signal(signal.SIGALRM, _alarm)
+    signal.alarm(int(os.environ.get("BENCH_WATCHDOG_S", "480")))
+
     import jax
 
     _cache.mkdir(exist_ok=True)
@@ -229,6 +244,27 @@ def main():
 
     t_start = _time.perf_counter()
     fps, spread = bench_vo_kernel()
+
+    rec = {
+        "metric": "vo_step_fps_1chip",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 30.0, 3),
+        "spread_pct": round(spread, 1),
+    }
+
+    # primary metric secured: if the extras below wedge the tunnel, the
+    # watchdog must still emit the primary JSON line
+    def _alarm_extras(signum, frame):
+        sys.stderr.write("bench: extras watchdog fired — reporting primary "
+                         "metric only\n")
+        print(json.dumps(rec))
+        sys.stdout.flush()
+        os._exit(0)
+
+    signal.signal(signal.SIGALRM, _alarm_extras)
+    signal.alarm(max(int(520 - (_time.perf_counter() - t_start)), 30))
+
     # optional engine-scale phases: each pays fresh jit compiles through
     # the tunnel on a cold cache — run them only inside the time budget
     # and never let a failure eat the primary metric
@@ -242,14 +278,8 @@ def main():
             fleet_ms = bench_fleet_tick()
     except Exception:
         pass
+    signal.alarm(0)
 
-    rec = {
-        "metric": "vo_step_fps_1chip",
-        "value": round(fps, 2),
-        "unit": "frames/s",
-        "vs_baseline": round(fps / 30.0, 3),
-        "spread_pct": round(spread, 1),
-    }
     if tick_1k is not None:
         rec["engine_tick_ms_wm1k"] = round(tick_1k, 2)
         rec["engine_ticks_per_s_wm1k"] = round(1000.0 / tick_1k, 2)

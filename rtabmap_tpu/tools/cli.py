@@ -777,9 +777,11 @@ def tool_console_app(argv: List[str]):
             H, W = np.asarray(g).shape
             cam = C.CameraModel.make(W, W, W / 2 - 0.5, H / 2 - 0.5, W, H)
             params.set("RGBD/Enabled", False)
-            slam = Rtabmap(cam, params, words_per_frame=400)
+            n_kp = int(params["Kp/MaxFeatures"])
+            n_kp = 400 if n_kp <= 0 else n_kp
+            slam = Rtabmap(cam, params, words_per_frame=n_kp)
             ext = jax.jit(lambda x: extract_features(
-                x, jnp.zeros_like(x), cam, 400))
+                x, jnp.zeros_like(x), cam, n_kp))
         st = slam.process(ext(g), np.eye(3, 4, dtype=np.float32),
                           stamp=float(sd.id))
         hyp_id, hyp_val = slam.last_hypothesis

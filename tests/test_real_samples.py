@@ -20,7 +20,7 @@ pytestmark = pytest.mark.skipif(
 # 2013-paper-style appearance parameters (reference ConsoleApp usage text)
 PARAMS = ["--Rtabmap/LoopThr", "0.11", "--Mem/STMSize", "30",
           "--Rtabmap/LoopRatio", "0.9", "--Mem/RehearsalSimilarity", "0.20",
-          "--Mem/RecentWmRatio", "0.20"]
+          "--Mem/RecentWmRatio", "0.20", "--Kp/MaxFeatures", "400"]
 
 
 @pytest.mark.slow
