@@ -236,8 +236,15 @@ class Rtabmap:
                 user_data: Optional[bytes] = None, grid=None,
                 env_sensors=None, global_desc=None, gt_pose=None,
                 velocity=None, gps=None, landmarks=None,
-                raw=None, descf=None) -> Statistics:
+                raw=None, descf=None,
+                extra_stats: Optional[Dict[str, float]] = None) -> Statistics:
         st = Statistics()
+        if extra_stats:
+            # upstream-stage metrics recorded into this node's row (the
+            # reference's odometry/camera stats ride the same Statistics
+            # map via RtabmapThread; e.g. Odometry/TotalTime/ms)
+            for k, v in extra_stats.items():
+                st.add(k, v)
         timer = Timer()
         odom_pose = np.asarray(odom_pose, np.float32)
         cov = np.asarray(covariance) if covariance is not None else np.eye(6) * 1e-4
@@ -734,6 +741,11 @@ class Rtabmap:
             pass
         st.add("Timing/Total/ms", timer.elapsed() * 1000.0)
         self.stats_history.append(st)
+        if self.memory.db is not None:
+            # persist the per-update statistics row (reference:
+            # DBDriver::addStatistics called from Rtabmap::process end,
+            # Rtabmap.cpp:3079; consumed by the Report tool / --loc stats)
+            self.memory.db.save_statistics(sig.id, stamp, st.data)
         return st
 
     def _add_intermediate_node(self, frame, odom_pose, cov, stamp,

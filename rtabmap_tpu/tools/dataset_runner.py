@@ -87,7 +87,9 @@ def run_dataset(frames: Iterable, camera, params=None, stereo_model=None,
                                        q0=imu_q, method=imu_method)
                     imu_q = qs[n_s - 1]
                     imu_quat = imu_q
+                _t_odom = time.perf_counter()
                 pose, cov, info = odom.process(feat, imu_quat=imu_quat)
+                odom_ms = (time.perf_counter() - _t_odom) * 1000.0
                 if pose is None:
                     n_lost += 1
                     if fr.odom_pose is not None and prev_wheel is not None \
@@ -109,7 +111,8 @@ def run_dataset(frames: Iterable, camera, params=None, stereo_model=None,
                 st = slam.process(
                     feat, np.asarray(pose), np.asarray(cov), stamp=fr.stamp,
                     gt_pose=fr.gt_pose,
-                    raw=(fr.gray, fr.depth) if db is not None else None)
+                    raw=(fr.gray, fr.depth) if db is not None else None,
+                    extra_stats={"Odometry/TotalTime/ms": odom_ms})
             n_loops += int(st.loop_closure_id > 0)
             est_odom.append(np.asarray(pose))
             est_stamps.append(fr.stamp)

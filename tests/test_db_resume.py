@@ -190,3 +190,30 @@ def test_node_gt_velocity_gps_roundtrip(tmp_path):
     np.testing.assert_allclose(got.velocity, sig.velocity)
     np.testing.assert_allclose(got.gps, sig.gps)
     db2.close()
+
+
+def test_engine_persists_statistics_rows(tmp_path):
+    """Every engine tick writes its Statistics map to the DB (reference:
+    DBDriver::addStatistics from Rtabmap::process), so the Report tool's
+    timing/loc aggregates work on engine-produced stores."""
+    path = str(tmp_path / "stats.db")
+    poses = S.loop_trajectory(8)
+    extract = jax.jit(lambda g, d: extract_features(g, d, CAM, 256))
+    db = Database(path)
+    slam = Rtabmap(CAM, Parameters(), db=db, node_capacity=32,
+                   words_per_frame=256)
+    for i in range(4):
+        g, d = S.render(poses[i], CAM)
+        slam.process(extract(g, d), np.asarray(poses[i]), stamp=float(i + 1),
+                     extra_stats={"Odometry/TotalTime/ms": 7.5})
+    slam.close()
+    db.flush()
+    db.close()
+
+    db2 = Database(path, async_writes=False)
+    rows = db2.load_statistics()
+    db2.close()
+    assert len(rows) == 4
+    assert all("Timing/Total/ms" in r for r in rows)
+    assert rows[0]["Odometry/TotalTime/ms"] == 7.5
+    assert rows[-1]["Memory/Short time memory size/"] >= 1
