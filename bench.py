@@ -29,7 +29,25 @@ import time
 
 import numpy as np
 
-_cache = pathlib.Path(__file__).resolve().parent / ".jax_cache"
+def _host_cache_dir() -> pathlib.Path:
+    """Host-fingerprinted cache dir: XLA:CPU AOT entries from a different
+    CI host segfault on load (see tests/conftest.py)."""
+    import hashlib
+    import platform
+
+    tag = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    tag += hashlib.sha1(line.encode()).hexdigest()[:12]
+                    break
+    except OSError:
+        pass
+    return pathlib.Path(__file__).resolve().parent / f".jax_cache_{tag}"
+
+
+_cache = _host_cache_dir()
 
 
 def _sync(x):
