@@ -29,25 +29,10 @@ import time
 
 import numpy as np
 
-def _host_cache_dir() -> pathlib.Path:
-    """Host-fingerprinted cache dir: XLA:CPU AOT entries from a different
-    CI host segfault on load (see tests/conftest.py)."""
-    import hashlib
-    import platform
-
-    tag = platform.machine()
-    try:
-        with open("/proc/cpuinfo") as f:
-            for line in f:
-                if line.startswith(("flags", "Features")):
-                    tag += hashlib.sha1(line.encode()).hexdigest()[:12]
-                    break
-    except OSError:
-        pass
-    return pathlib.Path(__file__).resolve().parent / f".jax_cache_{tag}"
-
-
-_cache = _host_cache_dir()
+# NO persistent compilation cache: executable (de)serialization in this
+# jax/XLA build segfaults on this host (see tests/conftest.py) — a crash
+# at cache-write would eat the benchmark entirely. First compile costs
+# ~20-40s through the tunnel; acceptable.
 
 
 def _sync(x):
@@ -236,7 +221,6 @@ def bench_fleet_tick(batch: int = 32, repeats: int = 3):
 
 
 def main():
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(_cache))
     import signal
     import sys
 
@@ -253,10 +237,6 @@ def main():
     signal.alarm(int(os.environ.get("BENCH_WATCHDOG_S", "480")))
 
     import jax
-
-    _cache.mkdir(exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", str(_cache))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     import time as _time
 
