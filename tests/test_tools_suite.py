@@ -116,9 +116,9 @@ def test_console_app_samples(tmp_path, monkeypatch):
     os.makedirs(d)
     for i in range(1, 9):
         shutil.copy(f"{SAMPLES}/{i}.jpg", f"{d}/{i:02d}.jpg")
-    slam = cli.main(["console_app", d])
-    assert slam is not None
-    assert len(slam.stats_history) >= 7
+    out = cli.main(["console_app", d])
+    assert out is not None and out["frames"] == 8
+    assert len(out["slam"].stats_history) >= 7
 
 
 def test_stereo_eval(tmp_path):
