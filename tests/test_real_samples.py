@@ -32,10 +32,33 @@ def test_samples_recall_at_full_precision():
     assert isinstance(out, dict)
     assert out["frames"] == 84
     assert out["total_gt"] == 44
-    # measured on real images: 68.2% recall at 100% precision (round 3);
+    # measured on real images: 70.5% recall at 100% precision (round 3);
     # regression floor set with margin
     assert out["recall_100p"] >= 60.0, out
     assert out["loops"] >= 20, out
+
+
+# tuned operating point (round-3 sweep): 600 features + 2010-paper
+# similarity likelihood + the DEFAULT Rtabmap/LoopRatio=0 reaches 97.7%
+# (43/44) recall at 100% precision — above the 70-90% band the RTAB-Map
+# papers report on their indoor datasets
+BEST_PARAMS = ["--Rtabmap/LoopThr", "0.11", "--Mem/STMSize", "30",
+               "--Mem/RehearsalSimilarity", "0.20",
+               "--Mem/RecentWmRatio", "0.20", "--Rtabmap/LoopRatio", "0",
+               "--Kp/MaxFeatures", "600",
+               "--Kp/TfIdfLikelihoodUsed", "false"]
+
+
+@pytest.mark.slow
+def test_samples_recall_tuned_operating_point():
+    from rtabmap_tpu.tools.cli import tool_console_app
+
+    out = tool_console_app(
+        [SAMPLES, "-gt", GT, "-quiet"] + BEST_PARAMS)
+    assert out["total_gt"] == 44
+    # measured 97.73% (43/44); floor with cross-platform margin
+    assert out["recall_100p"] >= 90.0, out
+    assert out["loops"] >= 28, out
 
 
 @pytest.mark.slow
