@@ -29,10 +29,13 @@ import time
 
 import numpy as np
 
-# NO persistent compilation cache: executable (de)serialization in this
-# jax/XLA build segfaults on this host (see tests/conftest.py) — a crash
-# at cache-write would eat the benchmark entirely. First compile costs
-# ~20-40s through the tunnel; acceptable.
+# Persistent compilation cache for the TPU platform only (.jax_cache_tpu):
+# remote-compile latency through the tunnel is volatile (17s..65s per
+# kernel measured in-round) and a cold bench can blow its time budget.
+# The CPU suite keeps the cache DISABLED — XLA:CPU executable
+# (de)serialization segfaults on this host (see tests/conftest.py); the
+# TPU executable path serialized fine across rounds.
+_cache = pathlib.Path(__file__).resolve().parent / ".jax_cache_tpu"
 
 
 def _sync(x):
@@ -237,6 +240,11 @@ def main():
     signal.alarm(int(os.environ.get("BENCH_WATCHDOG_S", "480")))
 
     import jax
+
+    if jax.default_backend() != "cpu":
+        _cache.mkdir(exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", str(_cache))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     import time as _time
 

@@ -271,9 +271,9 @@ class Rtabmap:
         # Rtabmap::setInitialPose — in localization mode the next frame is
         # remapped so the robot starts at the given map pose)
         if self._pending_initial_pose is not None:
-            self.map_correction = np.asarray(
-                T.compose(jnp.asarray(self._pending_initial_pose),
-                          T.inverse(jnp.asarray(odom_pose))))
+            self.map_correction = np.asarray(T.np_compose(
+                self._pending_initial_pose, T.np_inverse(odom_pose)),
+                np.float32)
             self._pending_initial_pose = None
 
         mc_before = np.asarray(self.map_correction).copy()
@@ -321,7 +321,8 @@ class Rtabmap:
             neighbor_link = None
             if prev_id is not None:
                 prev = self.memory.get(prev_id)
-                t_ab = np.asarray(T.relative(jnp.asarray(prev.pose), jnp.asarray(odom_pose)))
+                t_ab = np.asarray(T.np_relative(prev.pose, odom_pose),
+                                  np.float32)
                 link_cov = cov
                 # neighbor-link refining: polish the odometry link with scan
                 # ICP when both nodes carry scans (reference:
@@ -375,9 +376,8 @@ class Rtabmap:
         if not self.memory.incremental and self.max_odom_cache_size > 0:
             if self._odom_cache_poses:
                 last_id = next(reversed(self._odom_cache_poses))
-                t_oc = np.asarray(T.relative(
-                    jnp.asarray(self._odom_cache_poses[last_id]),
-                    jnp.asarray(odom_pose)))
+                t_oc = np.asarray(T.np_relative(
+                    self._odom_cache_poses[last_id], odom_pose), np.float32)
                 self._odom_cache_links[(last_id, sig.id)] = Link(
                     last_id, sig.id, LINK_NEIGHBOR, t_oc, info_from_cov(cov))
             self._odom_cache_poses[sig.id] = odom_pose
@@ -391,9 +391,9 @@ class Rtabmap:
         # --- C. metric gating: small displacement
         small_displacement = False
         if self._last_pose is not None:
-            d = T.relative(jnp.asarray(self._last_pose), jnp.asarray(odom_pose))
-            lin = float(T.translation_norm(d))
-            ang = float(T.rotation_angle(d))
+            d = T.np_relative(self._last_pose, odom_pose)
+            lin = T.np_translation_norm(d)
+            ang = T.np_rotation_angle(d)
             self._distance_travelled += lin
             if (self.rgbd_mode and
                     self.linear_update > 0 and lin < self.linear_update and
@@ -637,9 +637,8 @@ class Rtabmap:
                     and getattr(sig, "scan", None) is not None):
                 corrected = self._localize_global_scan(sig, odom_pose)
                 if corrected is not None:
-                    self.map_correction = np.asarray(
-                        T.compose(jnp.asarray(corrected),
-                                  T.inverse(jnp.asarray(odom_pose))))
+                    self.map_correction = np.asarray(T.np_compose(
+                        corrected, T.np_inverse(odom_pose)), np.float32)
                     st.add("Loop/Localized/", 1)
             if loc_link is not None and loc_link.to_id == sig.id:
                 anchor = self.optimized_poses.get(loc_link.from_id)
@@ -655,9 +654,8 @@ class Rtabmap:
                             sig, [lk for lk in links_added
                                   if lk.to_id == sig.id], odom_pose, st)
                     if corrected is not None:
-                        self.map_correction = np.asarray(
-                            T.compose(jnp.asarray(corrected),
-                                      T.inverse(jnp.asarray(odom_pose))))
+                        self.map_correction = np.asarray(T.np_compose(
+                            corrected, T.np_inverse(odom_pose)), np.float32)
                         st.add("Loop/Localized/", 1)
                     else:
                         # inconsistent with recent odometry: reject
@@ -669,13 +667,12 @@ class Rtabmap:
                         accepted_id = 0
                 else:
                     corrected = np.asarray(
-                        T.compose(jnp.asarray(anchor), jnp.asarray(loc_link.transform)))
-                    self.map_correction = np.asarray(
-                        T.compose(jnp.asarray(corrected),
-                                  T.inverse(jnp.asarray(odom_pose))))
+                        T.np_compose(anchor, loc_link.transform), np.float32)
+                    self.map_correction = np.asarray(T.np_compose(
+                        corrected, T.np_inverse(odom_pose)), np.float32)
                     st.add("Loop/Localized/", 1)
             self.optimized_poses[sig.id] = np.asarray(
-                T.compose(jnp.asarray(self.map_correction), jnp.asarray(odom_pose)))
+                T.np_compose(self.map_correction, odom_pose), np.float32)
         elif self.rgbd_mode:
             with st.time_stage("Timing/Map optimization/ms"):
                 self._optimize(st, links_added)
@@ -715,6 +712,8 @@ class Rtabmap:
                getattr(self.memory, "last_rehearsal_id", 0))
         st.add("Memory/Rehearsal merged/", st.get("Memory/RehearsalMerged"))
         st.add("Keypoint/Dictionary size/words", self.memory.vocab.n_words)
+        st.add("Keypoint/Index memory usage/KB",
+               self.memory.vocab.slab.size // 1024)  # int8 descriptor slab
         st.add("Keypoint/Current frame/words",
                int(np.sum(np.asarray(sig.word_ids) >= 0)))
         st.add("Keypoint/Indexed words/words", self.memory.vocab.n_words)
@@ -767,14 +766,13 @@ class Rtabmap:
         link = None
         if prev_id is not None:
             prev = mem.get(prev_id)
-            t_ab = np.asarray(T.relative(jnp.asarray(prev.pose),
-                                         jnp.asarray(odom_pose)))
+            t_ab = np.asarray(T.np_relative(prev.pose, odom_pose),
+                              np.float32)
             link = Link(prev_id, sig.id, LINK_NEIGHBOR, t_ab,
                         info_from_cov(np.asarray(cov)))
         mem.add_to_stm(sig, link)
         self.optimized_poses[sig.id] = np.asarray(
-            T.compose(jnp.asarray(self.map_correction),
-                      jnp.asarray(odom_pose)))
+            T.np_compose(self.map_correction, odom_pose), np.float32)
         st.ref_id = sig.id
         st.add("Memory/Short time memory inter size/",
                sum(1 for i in mem.stm
@@ -787,28 +785,31 @@ class Rtabmap:
         """Odom-correction / MapToOdom / MapToBase / Gt/* statistic
         families (reference: Rtabmap.cpp:4200-4360 — the per-update pose
         bookkeeping block feeding Statistics)."""
-        mc = jnp.asarray(self.map_correction)
-        delta = T.compose(mc, T.inverse(jnp.asarray(mc_before)))
-        d6 = np.asarray(T.to_xyzrpy(delta))
-        st.add("Loop/Odom correction norm/m", float(T.translation_norm(delta)))
+        # host numpy throughout: a dozen device dispatches on lone 3x4
+        # matrices would cost a tunnel round trip each (~250 ms/tick
+        # measured on-chip at WM=1k before this change)
+        mc = self.map_correction
+        delta = T.np_compose(mc, T.np_inverse(mc_before))
+        d6 = T.np_to_xyzrpy(delta)
+        st.add("Loop/Odom correction norm/m", T.np_translation_norm(delta))
         st.add("Loop/Odom correction angle/deg",
-               float(np.degrees(float(T.rotation_angle(delta)))))
+               float(np.degrees(T.np_rotation_angle(delta))))
         for k, name in enumerate(("x/m", "y/m", "z/m")):
             st.add(f"Loop/Odom correction {name}", float(d6[k]))
         for k, name in enumerate(("roll/deg", "pitch/deg", "yaw/deg")):
             st.add(f"Loop/Odom correction {name}",
                    float(np.degrees(d6[3 + k])))
-        m6 = np.asarray(T.to_xyzrpy(mc))
-        st.add("Loop/MapToOdom norm/m", float(T.translation_norm(mc)))
+        m6 = T.np_to_xyzrpy(mc)
+        st.add("Loop/MapToOdom norm/m", T.np_translation_norm(mc))
         st.add("Loop/MapToOdom angle/deg",
-               float(np.degrees(float(T.rotation_angle(mc)))))
+               float(np.degrees(T.np_rotation_angle(mc))))
         for k, name in enumerate(("x/m", "y/m", "z/m")):
             st.add(f"Loop/MapToOdom {name}", float(m6[k]))
         for k, name in enumerate(("roll/deg", "pitch/deg", "yaw/deg")):
             st.add(f"Loop/MapToOdom {name}", float(np.degrees(m6[3 + k])))
         base = self.optimized_poses.get(sig.id)
         if base is not None:
-            b6 = np.asarray(T.to_xyzrpy(jnp.asarray(base)))
+            b6 = T.np_to_xyzrpy(base)
             for k, name in enumerate(("x/m", "y/m", "z/m")):
                 st.add(f"Loop/MapToBase {name}", float(b6[k]))
             for k, name in enumerate(("roll/deg", "pitch/deg", "yaw/deg")):
@@ -939,8 +940,7 @@ class Rtabmap:
         cur_pose = self.optimized_poses.get(sig.id)
         if cur_pose is None:
             cur_pose = np.asarray(
-                T.compose(jnp.asarray(self.map_correction), jnp.asarray(sig.pose))
-            )
+                T.np_compose(self.map_correction, sig.pose), np.float32)
         recent = set(self._graph_neighborhood(sig.id, 6))  # skip recent chain
         cands = []
         for i in mem.wm:
@@ -959,9 +959,8 @@ class Rtabmap:
         dist_by_id = {i: d for d, i in cands}
         if cands:
             d0, i0 = cands[0]
-            ang = float(T.rotation_angle(T.relative(
-                jnp.asarray(cur_pose),
-                jnp.asarray(self.optimized_poses[i0]))))
+            ang = T.np_rotation_angle(T.np_relative(
+                cur_pose, self.optimized_poses[i0]))
             self._last_closest_node = (d0, ang)
         else:
             self._last_closest_node = None
@@ -1307,15 +1306,15 @@ class Rtabmap:
             for i in (self.memory.stm + self.memory.wm):
                 if i not in self.optimized_poses:
                     self.optimized_poses[i] = np.asarray(
-                        T.compose(jnp.asarray(self.map_correction),
-                                  jnp.asarray(self.memory.get(i).pose)))
+                        T.np_compose(self.map_correction,
+                                     self.memory.get(i).pose), np.float32)
             return
         ids, poses, ef, et, meas, info, switch, priors = self._build_graph()
         if len(ids) < 2 or len(ef) < 1:
             for i in ids:
                 self.optimized_poses[i] = np.asarray(
-                    T.compose(jnp.asarray(self.map_correction),
-                              jnp.asarray(self.memory.get(i).pose)))
+                    T.np_compose(self.map_correction,
+                                 self.memory.get(i).pose), np.float32)
             if ids:
                 self._update_map_correction(ids[-1])
             return
@@ -1396,8 +1395,8 @@ class Rtabmap:
             for i in ids:
                 if i >= 0 and i not in self.optimized_poses:
                     self.optimized_poses[i] = np.asarray(
-                        T.compose(jnp.asarray(self.map_correction),
-                                  jnp.asarray(self.memory.get(i).pose)))
+                        T.np_compose(self.map_correction,
+                                     self.memory.get(i).pose), np.float32)
 
         new_poses = np.asarray(out.poses)
         diverged = not np.isfinite(new_poses[: len(ids)]).all() or not np.isfinite(max_err)
@@ -1422,9 +1421,9 @@ class Rtabmap:
         self._update_map_correction(ids[n_reg - 1])
 
     def _update_map_correction(self, last_id: int):
-        odo = jnp.asarray(self.memory.get(last_id).pose)
-        opt = jnp.asarray(self.optimized_poses[last_id])
-        self.map_correction = np.asarray(T.compose(opt, T.inverse(odo)))
+        self.map_correction = np.asarray(T.np_compose(
+            self.optimized_poses[last_id],
+            T.np_inverse(self.memory.get(last_id).pose)), np.float32)
 
     # ---------------------------------------------------------------- transfer
     def _transfer(self, st: Statistics, elapsed_ms: float = 0.0):

@@ -332,3 +332,64 @@ def to_matrix4(T):
         jnp.array([0.0, 0.0, 0.0, 1.0], dtype=T.dtype), (*T.shape[:-2], 1, 4)
     )
     return jnp.concatenate([T, bottom], axis=-2)
+
+
+# ------------------------------------------------------------------ host side
+# Numpy equivalents for SINGLE (3,4) poses on the host. Per-tick scalar pose
+# bookkeeping (statistics decomposition, proximity gating) must not pay a
+# device dispatch each — through a tunneled TPU every dispatch costs a
+# round trip, and XLA wins nothing on a lone 3x4 matrix.
+
+def np_compose(A, B):
+    import numpy as np
+
+    A = np.asarray(A, np.float64)
+    B = np.asarray(B, np.float64)
+    out = np.empty((3, 4))
+    out[:, :3] = A[:, :3] @ B[:, :3]
+    out[:, 3] = A[:, :3] @ B[:, 3] + A[:, 3]
+    return out
+
+
+def np_inverse(A):
+    import numpy as np
+
+    A = np.asarray(A, np.float64)
+    out = np.empty((3, 4))
+    out[:, :3] = A[:, :3].T
+    out[:, 3] = -A[:, :3].T @ A[:, 3]
+    return out
+
+
+def np_relative(A, B):
+    """inverse(A) ∘ B for single (3,4) host poses."""
+    return np_compose(np_inverse(A), B)
+
+
+def np_translation_norm(A):
+    import numpy as np
+
+    return float(np.linalg.norm(np.asarray(A)[:3, 3]))
+
+
+def np_rotation_angle(A):
+    """Same atan2 formulation as `rotation_angle` (float-accurate)."""
+    import numpy as np
+
+    R = np.asarray(A, np.float64)[:3, :3]
+    tr = R[0, 0] + R[1, 1] + R[2, 2]
+    vee = np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])
+    return float(np.arctan2(0.5 * np.linalg.norm(vee),
+                            np.clip((tr - 1.0) * 0.5, -1.0, 1.0)))
+
+
+def np_to_xyzrpy(A):
+    """Same Euler convention as `to_xyzrpy`."""
+    import numpy as np
+
+    A = np.asarray(A, np.float64)
+    R, t = A[:3, :3], A[:3, 3]
+    p = np.arcsin(np.clip(-R[2, 0], -1.0, 1.0))
+    r = np.arctan2(R[2, 1], R[2, 2])
+    yw = np.arctan2(R[1, 0], R[0, 0])
+    return np.array([t[0], t[1], t[2], r, p, yw])

@@ -337,23 +337,32 @@ class Memory:
 
         (reference: Memory::createSignature Memory.cpp:5025.)
         """
+        import jax
+
         word_ids, _ = self.vocab.quantize(frame.desc, frame.valid)
         sid = self._next_id
         self._next_id += 1
+        # ONE host transfer for the frame arrays (separate np.asarray
+        # calls each pay a device round trip through the TPU tunnel)
+        desc_h, uv_h, pts_h, ok3d_h = jax.device_get(
+            (frame.desc, frame.uv, frame.pts3d,
+             frame.valid3d & frame.valid))
         sig = Signature(
             id=sid, map_id=self._map_id, stamp=stamp,
             pose=np.asarray(pose, np.float32), weight=weight,
             word_ids=word_ids,
-            desc=np.asarray(frame.desc, np.int8),
-            uv=np.asarray(frame.uv, np.float32),
-            pts3d=np.asarray(frame.pts3d, np.float32),
-            valid3d=np.asarray(frame.valid3d & frame.valid),
+            desc=desc_h.astype(np.int8),
+            uv=uv_h.astype(np.float32),
+            pts3d=pts_h.astype(np.float32),
+            valid3d=ok3d_h,
         )
         self.signatures[sid] = sig
-        self._insert_slab(sig)
+        # reuse the frame's device-resident uv/pts3d for the slab write —
+        # re-uploading the host copies would add two transfers
+        self._insert_slab(sig, uv_dev=frame.uv, pts_dev=frame.pts3d)
         return sig
 
-    def _insert_slab(self, sig: Signature):
+    def _insert_slab(self, sig: Signature, uv_dev=None, pts_dev=None):
         if not self._free_slots:
             raise RuntimeError("WM slab capacity exhausted — transfer first")
         slot = self._free_slots.pop()
@@ -363,7 +372,8 @@ class Memory:
          self.word_nw) = _slab_set(
             self.node_words, self.node_uv, self.node_pts, self.node_valid,
             self.word_nw, slot, jnp.asarray(sig.word_ids),
-            jnp.asarray(sig.uv), jnp.asarray(sig.pts3d), True,
+            jnp.asarray(sig.uv) if uv_dev is None else uv_dev,
+            jnp.asarray(sig.pts3d) if pts_dev is None else pts_dev, True,
         )
         if self._nbr_table is not None:
             self._nbr_table.add_node(slot)
@@ -734,19 +744,26 @@ class Memory:
             window_px=jnp.float32(self.guess_win_size),
             use_window=use_window, use_gms=self.cor_nn_type == 7,
         )
-        self._record_registration(res, int(jnp.sum(mm.valid)))
-        if not bool(res.success):
-            return None, np.eye(6) * 9999.0, int(res.num_inliers)
-        return (np.asarray(res.transform), np.asarray(res.covariance),
-                int(res.num_inliers))
+        # ONE host transfer for every scalar/output — separate fetches
+        # each pay a tunnel round trip (~6 RTTs -> 1 measured on-chip)
+        success, transform, cov, n_inl, n_match = jax.device_get(
+            (res.success, res.transform, res.covariance, res.num_inliers,
+             jnp.sum(mm.valid)))
+        self._record_registration_host(int(n_inl), cov, int(n_match))
+        if not bool(success):
+            return None, np.eye(6) * 9999.0, int(n_inl)
+        return (np.asarray(transform), np.asarray(cov), int(n_inl))
 
     def _record_registration(self, res, matches: int):
         """Stash match-level stats of the LAST registration for the
         engine's Loop/Visual* statistics (reference: RegistrationInfo
         fields inliers/matches/inliersRatio/variance consumed at
         Rtabmap.cpp:2893-2906)."""
-        inl = int(res.num_inliers)
-        cov = np.asarray(res.covariance)
+        self._record_registration_host(
+            int(res.num_inliers), np.asarray(res.covariance), matches)
+
+    def _record_registration_host(self, inl: int, cov, matches: int):
+        cov = np.asarray(cov)
         self.last_registration = {
             "matches": matches,
             "inliers": inl,

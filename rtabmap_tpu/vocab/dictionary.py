@@ -89,9 +89,9 @@ class VWDictionary:
             block=self.block,
             use_pallas=use_pallas_ok(desc.shape[0], self.capacity),
         )
-        nn_idx = np.asarray(nn_idx)
-        is_new = np.asarray(is_new)
-        valid_np = np.asarray(valid)
+        # ONE host transfer for all three arrays — separate np.asarray
+        # calls each pay a device round trip (tunnel RTT dominates)
+        nn_idx, is_new, valid_np = jax.device_get((nn_idx, is_new, valid))
         if not self.incremental:
             word_ids = np.where(valid_np & ~is_new, nn_idx, -1).astype(np.int32)
             return word_ids, np.zeros_like(is_new)
