@@ -987,9 +987,15 @@ class Rtabmap:
                    (time.perf_counter() - _t_search) * 1000.0)
         _t_vis = time.perf_counter()
         out: List[Link] = []
-        checked = 0
+        # select one registration target per path (host-side), then run
+        # ALL of them as ONE batched device dispatch + fetch — the
+        # reference registers serially per path (Rtabmap.cpp:2828-2920);
+        # batched, P match matmuls share the MXU and one round trip
+        pair_ids: List[int] = []
+        pair_guesses: List[np.ndarray] = []
         for pth in paths:
-            if self.prox_max_paths > 0 and checked >= self.prox_max_paths:
+            if self.prox_max_paths > 0 and \
+                    len(pair_ids) >= self.prox_max_paths:
                 break
             # nearest node of the path — or its most likely member if any
             best_lik = max(pth, key=lik_of)
@@ -999,18 +1005,22 @@ class Rtabmap:
                 continue
             if filtering_radius > 0 and dist_by_id[i] > filtering_radius:
                 continue
-            checked += 1
-            guess = np.asarray(T.relative(
-                jnp.asarray(self.optimized_poses[i]), jnp.asarray(cur_pose)))
+            pair_ids.append(i)
             # RGBD/ProximityOdomGuess additionally restricts matching to a
             # guess-projected window (reference: computeTransform with
             # odometry guess -> projection correspondences)
-            t_ab, cov, inl = mem.compute_transform(
-                i, sig.id, self.cam, self._split_key(),
-                guess=guess, min_inliers=self.min_inliers,
-                guess_window=self.prox_odom_guess,
-            )
-            if t_ab is not None:
+            pair_guesses.append(np.asarray(
+                T.np_relative(self.optimized_poses[i], cur_pose),
+                np.float32))
+        checked = len(pair_ids)
+        if pair_ids:
+            results = mem.compute_transform_batch(
+                pair_ids, sig.id, self.cam, self._split_key(), pair_guesses,
+                min_inliers=self.min_inliers,
+                guess_window=self.prox_odom_guess)
+            for i, (t_ab, cov, inl) in zip(pair_ids, results):
+                if t_ab is None:
+                    continue
                 if (filtering_radius > 0 and
                         float(np.linalg.norm(t_ab[:3, 3])) > filtering_radius):
                     continue  # resulting transform too large

@@ -163,6 +163,30 @@ def _registration_kernel(desc_a, valid_a, pts_a, uv_a, desc_b, valid_b3d,
     ), mm
 
 
+@partial(jax.jit, static_argnames=("iters", "min_inliers", "use_window",
+                                   "use_gms"))
+def _registration_kernel_batch(desc_a, valid_a, pts_a, uv_a, desc_b,
+                               valid_b3d, uv_b, pts_b, guesses, cam_tuple,
+                               keys, iters: int, reproj_px,
+                               min_inliers: int, nndr, window_px,
+                               use_window: bool = False,
+                               use_gms: bool = False):
+    """P independent A_i->B registrations as ONE device dispatch (vmap
+    over the candidate axis). The TPU-native form of the reference's
+    serial per-path registrations in proximity detection
+    (Rtabmap.cpp:2828-2920): each extra serial call costs a kernel
+    launch + a host round trip; batched, the P match matmuls tile the
+    MXU together and all results come back in one fetch."""
+
+    def one(da, va, pa, ua, g, k):
+        return _registration_kernel(
+            da, va, pa, ua, desc_b, valid_b3d, uv_b, pts_b, g, cam_tuple,
+            k, iters, reproj_px, min_inliers, nndr=nndr,
+            window_px=window_px, use_window=use_window, use_gms=use_gms)
+
+    return jax.vmap(one)(desc_a, valid_a, pts_a, uv_a, guesses, keys)
+
+
 @jax.jit
 def _slab_set(node_words, node_uv, node_pts, node_valid, word_nw,
               slot, words, uv, pts, valid):
@@ -753,6 +777,61 @@ class Memory:
         if not bool(success):
             return None, np.eye(6) * 9999.0, int(n_inl)
         return (np.asarray(transform), np.asarray(cov), int(n_inl))
+
+    def compute_transform_batch(self, from_ids, to_id: int,
+                                cam: C.CameraModel, key, guesses,
+                                min_inliers: int = 20,
+                                reproj_px: float = 4.0, iters: int = 256,
+                                guess_window: Optional[bool] = None):
+        """Batched signature registrations {A_i}->B in one dispatch+fetch
+        (see `_registration_kernel_batch`). Only the default descriptor
+        mode batches; flow/SuperGlue correspondence modes fall back to
+        per-pair `compute_transform`.
+
+        Returns [(T_ab or None, covariance, inliers), ...] per from_id."""
+        if self.cor_type == 1 or self.cor_nn_type == 6 or not from_ids:
+            out = []
+            for i, g in zip(from_ids, guesses):
+                key, sub = jax.random.split(key)
+                out.append(self.compute_transform(
+                    i, to_id, cam, sub, guess=g, min_inliers=min_inliers,
+                    reproj_px=reproj_px, iters=iters,
+                    guess_window=guess_window))
+            return out
+        b = self.signatures[to_id]
+        A = [self.signatures[i] for i in from_ids]
+        cam_tuple = (cam.fx, cam.fy, cam.cx, cam.cy, cam.width, cam.height,
+                     cam.dist, cam.local_transform)
+        use_window = bool(guess_window) and self.guess_win_size > 0
+        keys = jax.random.split(key, len(A))
+        res, mm = _registration_kernel_batch(
+            jnp.asarray(np.stack([a.desc for a in A])),
+            jnp.asarray(np.stack([a.valid3d for a in A])),
+            jnp.asarray(np.stack([a.pts3d for a in A])),
+            jnp.asarray(np.stack([a.uv for a in A])),
+            jnp.asarray(b.desc), jnp.asarray(b.valid3d), jnp.asarray(b.uv),
+            jnp.asarray(b.pts3d),
+            jnp.asarray(np.stack([np.asarray(g, np.float32)
+                                  for g in guesses])),
+            cam_tuple, keys, iters, jnp.float32(reproj_px), min_inliers,
+            jnp.float32(self.cor_nndr), jnp.float32(self.guess_win_size),
+            use_window=use_window, use_gms=self.cor_nn_type == 7,
+        )
+        success, transform, cov, n_inl, n_match = jax.device_get(
+            (res.success, res.transform, res.covariance, res.num_inliers,
+             jnp.sum(mm.valid, axis=-1)))
+        out = []
+        for p in range(len(A)):
+            if bool(success[p]):
+                out.append((np.asarray(transform[p]), np.asarray(cov[p]),
+                            int(n_inl[p])))
+            else:
+                out.append((None, np.eye(6) * 9999.0, int(n_inl[p])))
+        # stats of the last attempted registration (engine Loop/Visual*)
+        last = len(A) - 1
+        self._record_registration_host(int(n_inl[last]), cov[last],
+                                       int(n_match[last]))
+        return out
 
     def _record_registration(self, res, matches: int):
         """Stash match-level stats of the LAST registration for the
