@@ -223,3 +223,57 @@ def lidar_trajectory(n: int, radius: float = 2.0, room_half=(4.0, 3.0, 1.5)):
         Rsw = np.stack([fwd, left, up], axis=1)
         poses.append(np.concatenate([Rsw, pos[:, None]], axis=1))
     return jnp.asarray(np.stack(poses))
+
+
+class FeatureWorld:
+    """Render-free synthetic world for engine-level tests: a bank of
+    landmark features spread along a straight corridor, each with a fixed
+    ±1 descriptor and 3D position; the camera visits integer waypoints
+    0.3 m apart and frame ``way`` sees the K features whose bank indices
+    start at ``way * (K - overlap)`` (consecutive frames share ``overlap``
+    features, so tf-idf likelihoods are graded like real data). Pixels are
+    exact pinhole projections + noise, so PnP registration between
+    revisits recovers near-identity transforms — loop closures close
+    metrically, not just topologically.
+
+    The cheap path to a deterministic multi-frame SLAM scenario (the
+    image-rendering path in ``render()`` costs a feature-extraction
+    compile; this feeds FrameFeatures directly)."""
+
+    def __init__(self, cam: C.CameraModel, n_ways: int = 32, K: int = 128,
+                 overlap: int = 64, desc_dim: int = 256, seed: int = 7,
+                 step: float = 0.3):
+        self.cam, self.K, self.step = cam, K, step
+        self.S = K - overlap
+        r = np.random.RandomState(seed)
+        n_feat = n_ways * self.S + K
+        self.desc = np.where(r.rand(n_feat, desc_dim) > 0.5, 1, -1).astype(np.int8)
+        self.pos = np.stack([
+            step * np.arange(n_feat) / self.S + r.uniform(-0.1, 0.1, n_feat),
+            r.uniform(-0.8, 0.8, n_feat),
+            r.uniform(2.0, 4.0, n_feat),
+        ], axis=1).astype(np.float32)
+
+    def pose(self, way: int, nudge: float = 0.0) -> np.ndarray:
+        p = np.eye(3, 4, dtype=np.float32)
+        p[0, 3] = self.step * way + nudge
+        return p
+
+    def frame(self, way: int, noise_seed: int = 0, px_noise: float = 0.2):
+        from rtabmap_tpu.core.frame import FrameFeatures
+
+        cam, K = self.cam, self.K
+        f0 = way * self.S
+        idx = np.arange(f0, f0 + K)
+        pts = self.pos[idx].copy()
+        pts[:, 0] -= self.step * way
+        rn = np.random.RandomState(100000 + noise_seed)
+        uv = np.stack([pts[:, 0] / pts[:, 2] * cam.fx + cam.cx,
+                       pts[:, 1] / pts[:, 2] * cam.fy + cam.cy], axis=1)
+        uv = (uv + rn.randn(K, 2) * px_noise).astype(np.float32)
+        ones = np.ones((K,), bool)
+        return FrameFeatures(
+            uv=jnp.asarray(uv), desc=jnp.asarray(self.desc[idx]),
+            pts3d=jnp.asarray(pts), valid=jnp.asarray(ones),
+            valid3d=jnp.asarray(ones), angle=jnp.zeros((K,)),
+            response=jnp.zeros((K,)))

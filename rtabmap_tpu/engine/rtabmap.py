@@ -87,12 +87,20 @@ def info_from_cov(cov: np.ndarray, min_var: float = 1e-6, max_var: float = 1e4) 
 class Rtabmap:
     def __init__(self, cam: C.CameraModel, params: Optional[Parameters] = None,
                  db=None, node_capacity: int = 1024, words_per_frame: int = 512,
-                 seed: int = 42):
+                 seed: int = 42, mesh=None, shard_axis: str = "shard"):
         p = params or Parameters()
         self.params = p
         self.cam = cam
+        # mesh: multi-chip mode — the Memory slabs (and the vocabulary)
+        # live sharded over the mesh axis; every jitted stage partitions
+        # via XLA GSPMD, and the graph-solve edge slabs are sharded in
+        # _optimize. None = single-device (identical numerics modulo
+        # reduction order).
+        self.mesh, self.shard_axis = mesh, shard_axis
         self.memory = Memory(p, node_capacity=node_capacity,
-                             words_per_frame=words_per_frame, db=db)
+                             words_per_frame=words_per_frame, db=db,
+                             mesh=mesh, shard_axis=shard_axis)
+        node_capacity = self.memory.node_capacity  # rounded to shards
         self.bayes = BF.BayesFilter(
             node_capacity,
             prediction_lc=[float(x) for x in str(p["Bayes/PredictionLC"]).split()],
@@ -1333,6 +1341,10 @@ class Rtabmap:
         n_reg = sum(1 for i in ids if i >= 0)  # landmarks appended after
         Np = 1 << max(N - 1, 1).bit_length()
         Ep = 1 << max(E - 1, 1).bit_length()
+        if self.mesh is not None:
+            # edge slab sharded over the mesh: pad to a shard multiple
+            n_sh = self.mesh.shape[self.shard_axis]
+            Ep = ((max(Ep, n_sh) + n_sh - 1) // n_sh) * n_sh
         poses_p = np.concatenate([poses, np.tile(np.eye(3, 4, dtype=np.float32), (Np - N, 1, 1))])
         node_valid = np.arange(Np) < N
         ef_p = np.concatenate([ef, np.zeros(Ep - E, np.int32)])
@@ -1352,10 +1364,26 @@ class Rtabmap:
             prior_valid = np.arange(Pp) < P
         else:
             prior_valid = np.zeros((0,), bool)
-        g = PG.make_graph(jnp.asarray(poses_p), jnp.asarray(ef_p), jnp.asarray(et_p),
-                          jnp.asarray(meas_p), jnp.asarray(info_p),
+        ef_j, et_j = jnp.asarray(ef_p), jnp.asarray(et_p)
+        meas_j, info_j = jnp.asarray(meas_p), jnp.asarray(info_p)
+        ev_j = jnp.asarray(edge_valid)
+        if self.mesh is not None:
+            # per-edge residual/Jacobian work partitions over chips; the
+            # scatter-adds into the (replicated) pose vector become psums
+            # (the sharded-PCG pattern, parallel/sharded.py docstring)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            s1 = NamedSharding(self.mesh, P(self.shard_axis))
+            s3 = NamedSharding(self.mesh, P(self.shard_axis, None, None))
+            ef_j = jax.device_put(ef_j, s1)
+            et_j = jax.device_put(et_j, s1)
+            meas_j = jax.device_put(meas_j, s3)
+            info_j = jax.device_put(info_j, s3)
+            ev_j = jax.device_put(ev_j, s1)
+        g = PG.make_graph(jnp.asarray(poses_p), ef_j, et_j,
+                          meas_j, info_j,
                           node_valid=jnp.asarray(node_valid),
-                          edge_valid=jnp.asarray(edge_valid),
+                          edge_valid=ev_j,
                           root=n_reg - 1,
                           priors_idx=jnp.asarray(pr_idx, jnp.int32),
                           priors_meas=jnp.asarray(pr_meas, jnp.float32),

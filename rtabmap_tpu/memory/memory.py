@@ -227,8 +227,20 @@ class Memory:
 
     def __init__(self, params: Optional[Parameters] = None,
                  node_capacity: int = 1024, words_per_frame: int = 512,
-                 vocab: Optional[VWDictionary] = None, db=None):
+                 vocab: Optional[VWDictionary] = None, db=None,
+                 mesh=None, shard_axis: str = "shard"):
         p = params or Parameters()
+        # --- multi-chip mode: node + vocabulary slabs live partitioned
+        # over the mesh axis (jax.sharding.NamedSharding); every jitted
+        # kernel over them (likelihood, Bayes, slab scatter, retrieval)
+        # is then partitioned by XLA with ICI collectives inserted
+        # automatically — the WM memory ceiling and the appearance-stage
+        # FLOPs scale with chips (SURVEY.md §5.7: the reference's
+        # single-process WM cache over SQLite has no analogue of this).
+        self.mesh, self.shard_axis = mesh, shard_axis
+        if mesh is not None:
+            n_sh = mesh.shape[shard_axis]
+            node_capacity = ((node_capacity + n_sh - 1) // n_sh) * n_sh
         self.params = p
         self.stm_size = int(p["Mem/STMSize"])
         self.rehearsal_sim = float(p["Mem/RehearsalSimilarity"])
@@ -268,6 +280,8 @@ class Memory:
             nndr=float(p["Kp/NndrRatio"]),
             incremental=self.incremental,
         )
+        if mesh is not None and self.vocab.mesh is None:
+            self.vocab.shard(mesh, shard_axis)
         self.db = db
 
         # host records
@@ -284,6 +298,20 @@ class Memory:
         self.node_pts = jnp.zeros((N, K, 3), jnp.float32)
         self.node_valid = jnp.zeros((N,), bool)
         self.word_nw = jnp.zeros((self.vocab.capacity,), jnp.float32)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            ax = shard_axis
+            self.node_words = jax.device_put(
+                self.node_words, NamedSharding(mesh, P(ax, None)))
+            self.node_uv = jax.device_put(
+                self.node_uv, NamedSharding(mesh, P(ax, None, None)))
+            self.node_pts = jax.device_put(
+                self.node_pts, NamedSharding(mesh, P(ax, None, None)))
+            self.node_valid = jax.device_put(
+                self.node_valid, NamedSharding(mesh, P(ax)))
+            self.word_nw = jax.device_put(
+                self.word_nw, NamedSharding(mesh, P(ax)))
         self._free_slots = list(range(N - 1, -1, -1))
         self._slot_to_id = np.full((N,), -1, np.int64)
         # incremental Bayes neighbor table (created on first use by the

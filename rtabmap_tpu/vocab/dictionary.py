@@ -77,6 +77,28 @@ class VWDictionary:
         self.slab = jnp.zeros((capacity, desc_dim), jnp.int8)
         self.word_valid = jnp.zeros((capacity,), bool)
         self.n_words = 0
+        self.mesh = None          # set by shard(): multi-chip word slab
+        self.shard_axis = "shard"
+
+    def shard(self, mesh, axis: str = "shard") -> "VWDictionary":
+        """Partition the descriptor slab over a device mesh axis: the 2-NN
+        quantization then runs shard-local on each chip's slab block with a
+        single top-2 gather (parallel.sharded.sharded_knn2) — the
+        vocabulary memory ceiling and the search FLOPs both scale with
+        chips (SURVEY.md §2.3(a))."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_sh = mesh.shape[axis]
+        if self.capacity % n_sh:
+            raise ValueError(
+                f"vocab capacity {self.capacity} not divisible by "
+                f"{n_sh} shards")
+        self.mesh, self.shard_axis = mesh, axis
+        self.slab = jax.device_put(self.slab,
+                                   NamedSharding(mesh, P(axis, None)))
+        self.word_valid = jax.device_put(self.word_valid,
+                                         NamedSharding(mesh, P(axis)))
+        return self
 
     def quantize(self, desc, valid) -> Tuple[np.ndarray, np.ndarray]:
         """Assign word ids to descriptors; create new words in incremental
@@ -84,11 +106,15 @@ class VWDictionary:
         is_new (K,) bool)."""
         from rtabmap_tpu.ops.pallas.vocab_knn import use_pallas_ok
 
-        nn_idx, is_new = _quantize_kernel(
-            desc, valid, self.slab, self.word_valid, jnp.float32(self.nndr),
-            block=self.block,
-            use_pallas=use_pallas_ok(desc.shape[0], self.capacity),
-        )
+        if self.mesh is not None:
+            nn_idx, is_new = self._quantize_sharded(desc, valid)
+        else:
+            nn_idx, is_new = _quantize_kernel(
+                desc, valid, self.slab, self.word_valid,
+                jnp.float32(self.nndr),
+                block=self.block,
+                use_pallas=use_pallas_ok(desc.shape[0], self.capacity),
+            )
         # ONE host transfer for all three arrays — separate np.asarray
         # calls each pay a device round trip (tunnel RTT dominates)
         nn_idx, is_new, valid_np = jax.device_get((nn_idx, is_new, valid))
@@ -113,6 +139,30 @@ class VWDictionary:
             word_ids = nn_idx
         word_ids = np.where(valid_np, word_ids, -1).astype(np.int32)
         return word_ids, is_new
+
+    def _quantize_sharded(self, desc, valid):
+        """Sharded-slab global 2-NN (per-shard MXU top-2 + one gather,
+        parallel.sharded.sharded_knn2) with the identical NNDR new-word
+        rule as ``_quantize_kernel`` — the distance conventions match
+        (hamming via (D-sim)/2, invalid words -> 1e9)."""
+        if getattr(self, "_sharded_quant_fn", None) is None:
+            from rtabmap_tpu.parallel.sharded import sharded_knn2
+
+            mesh, axis = self.mesh, self.shard_axis
+
+            def fn(desc, valid, slab, word_valid, nndr):
+                d, i = sharded_knn2(mesh, desc, slab, word_valid, axis=axis)
+                has_any = jnp.any(word_valid)
+                d0, d1 = d[:, 0], d[:, 1]
+                no_second = d1 > 1e8
+                is_new = jnp.where(no_second, d0 > 1e8, d0 > nndr * d1)
+                is_new = jnp.where(has_any, is_new, True) & valid
+                return i[:, 0].astype(jnp.int32), is_new
+
+            self._sharded_quant_fn = jax.jit(fn)
+        return self._sharded_quant_fn(desc, valid, self.slab,
+                                      self.word_valid,
+                                      jnp.float32(self.nndr))
 
     def descriptors(self, word_ids):
         return self.slab[jnp.asarray(word_ids)]
