@@ -143,6 +143,8 @@ def _populate_engine(n_nodes: int, node_capacity: int):
     mem.node_uv = jnp.asarray(uv_slab)
     mem.node_pts = jnp.asarray(pts_slab)
     mem.node_valid = jnp.asarray(valid_slab)
+    mem.host_valid = valid_slab.copy()
+    mem.host_wm = valid_slab.copy()
     counts = np.zeros((W,), np.float32)
     for k in range(n_nodes):
         counts[np.unique(all_words[k])] += 1.0

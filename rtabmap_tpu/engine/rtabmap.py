@@ -35,6 +35,7 @@ from rtabmap_tpu.memory.memory import (
     LINK_USER_CLOSURE, LINK_VIRTUAL_CLOSURE, Link, Memory, Signature,
 )
 from rtabmap_tpu.optim import pose_graph as PG
+from rtabmap_tpu.utils.graph import PoseStore
 from rtabmap_tpu.utils.logging import Statistics, Timer, get_logger
 from rtabmap_tpu.utils.params import Parameters
 
@@ -133,6 +134,18 @@ class Rtabmap:
         self.memory_thr = int(p["Rtabmap/MemoryThr"])      # nodes, 0 = off
         self.min_inliers = int(p["Vis/MinInliers"])
         self.optimizer_robust = bool(p["Optimizer/Robust"])
+        # iteration budget + convergence stop (reference:
+        # Optimizer/Iterations, Optimizer/Epsilon — epsilon stops when the
+        # relative chi2 improvement of a chunk falls below it)
+        self.optimizer_iterations = int(p["Optimizer/Iterations"])
+        self.optimizer_epsilon = float(p["Optimizer/Epsilon"])
+        self.optimize_from_graph_end = bool(p["RGBD/OptimizeFromGraphEnd"])
+        # incremental (affected-subgraph) optimization — the iSAM2 role
+        # (reference: OptimizerGTSAM.cpp:111-124); full solves run every
+        # Tpu/FullSolveEvery closures or when the subgraph grows too large
+        self.incremental_optimization = bool(p["Tpu/IncrementalOptimization"])
+        self.full_solve_every = int(p["Tpu/FullSolveEvery"])
+        self._closures_since_full = 0
         self.rgbd_mode = bool(p["RGBD/Enabled"])
         self.detection_rate = float(p["Rtabmap/DetectionRate"])
         self.create_intermediate_nodes = bool(
@@ -155,7 +168,7 @@ class Rtabmap:
         self._odom_cache_poses: Dict[int, np.ndarray] = {}   # id -> odom pose
         self._odom_cache_links: Dict[Tuple[int, int], Link] = {}
 
-        self.optimized_poses: Dict[int, np.ndarray] = {}
+        self.optimized_poses: Dict[int, np.ndarray] = PoseStore()
         self.landmark_poses: Dict[int, np.ndarray] = {}   # negative-id landmarks
         self._landmark_observers: Dict[int, List[int]] = {}
         self.map_correction = np.asarray(T.identity())
@@ -220,10 +233,10 @@ class Rtabmap:
             sig = mem.signatures[sid]
             sig.in_ltm = False
             mem._insert_slab(sig)
-            mem.wm.append(sid)
+            mem._wm_append(sid)
         mem._next_id = db.max_node_id() + 1
         mem._map_id = last_map + 1 if new_session else last_map
-        slam.optimized_poses = dict(admin["optimized_poses"])
+        slam.optimized_poses.update(admin["optimized_poses"])
         return slam
 
     def _split_key(self):
@@ -440,17 +453,14 @@ class Rtabmap:
                 # host-side prep: STM mask + incremental neighbor table
                 stm_slots = [mem.get(i).slot for i in mem.stm
                              if mem.get(i).slot >= 0]
-                lik_valid = np.asarray(mem.node_valid).copy()
-                for s in stm_slots:
-                    lik_valid[s] = False
+                # host mirrors (no device fetch, no O(WM) Python scan)
+                lik_valid = mem.host_valid.copy()
+                if stm_slots:
+                    lik_valid[stm_slots] = False
                 depth = min(self.bayes.kernel.shape[0] - 2, 8)
                 tbl = mem.ensure_neighbor_table(depth, 2 * depth + 1)
                 nbr_idx, nbr_margin = tbl.flush()
-                wm_valid = np.zeros((mem.node_capacity,), bool)
-                for i in mem.wm:
-                    s = mem.get(i)
-                    if s.slot >= 0:
-                        wm_valid[s.slot] = True
+                wm_valid = mem.host_wm
             with st.time_stage("Timing/Likelihood computation/ms"):
                 # ONE dispatch for likelihood+adjust+Bayes+argmax, ONE
                 # fetch for everything the host needs this tick
@@ -950,20 +960,17 @@ class Rtabmap:
             cur_pose = np.asarray(
                 T.np_compose(self.map_correction, sig.pose), np.float32)
         recent = set(self._graph_neighborhood(sig.id, 6))  # skip recent chain
+        # vectorized radius query over the compact pose store (replaces the
+        # O(WM) Python scan; reference: Graph.cpp findNearestNodes KD-tree)
+        near_ids, near_d = self.optimized_poses.nearest_within(
+            cur_pose[:3, 3], self.local_radius)
         cands = []
-        for i in mem.wm:
-            if i in recent or i == sig.id:
+        for i, d in zip(near_ids.tolist(), near_d.tolist()):
+            if i in recent or i == sig.id or i not in mem.wm:
                 continue
-            s = mem.get(i)
-            if s.slot < 0:
+            if mem.get(i).slot < 0:
                 continue
-            pose = self.optimized_poses.get(i)
-            if pose is None:
-                continue
-            d = np.linalg.norm(pose[:3, 3] - cur_pose[:3, 3])
-            if d < self.local_radius:
-                cands.append((d, i))
-        cands.sort()
+            cands.append((d, i))
         dist_by_id = {i: d for d, i in cands}
         if cands:
             d0, i0 = cands[0]
@@ -1316,29 +1323,17 @@ class Rtabmap:
             (np.stack(info) if info else np.zeros((0, 6, 6), np.float32)), \
             np.array(switch, bool), priors
 
-    def _optimize(self, st: Statistics, new_links: List[Link]):
-        # Without new constraints the graph optimum is unchanged — just
-        # propagate the map correction onto the new node (the reference
-        # equally skips optimizeCurrentMap when no closure was added).
-        if not new_links:
-            for i in (self.memory.stm + self.memory.wm):
-                if i not in self.optimized_poses:
-                    self.optimized_poses[i] = np.asarray(
-                        T.np_compose(self.map_correction,
-                                     self.memory.get(i).pose), np.float32)
-            return
-        ids, poses, ef, et, meas, info, switch, priors = self._build_graph()
-        if len(ids) < 2 or len(ef) < 1:
-            for i in ids:
-                self.optimized_poses[i] = np.asarray(
-                    T.np_compose(self.map_correction,
-                                 self.memory.get(i).pose), np.float32)
-            if ids:
-                self._update_map_correction(ids[-1])
-            return
-        # pad nodes/edges to pow2 buckets so jit caches a few shapes only
-        N, E = len(ids), len(ef)
-        n_reg = sum(1 for i in ids if i >= 0)  # landmarks appended after
+    def _solve_padded(self, poses, ef, et, meas, info, switch, priors,
+                      root_idx: int, st: Optional[Statistics] = None):
+        """Pad to pow2/shard buckets, build the PoseGraph (edge slabs
+        sharded when a mesh is set) and solve honoring Optimizer/Iterations
+        with Optimizer/Epsilon convergence stop (chunked: GN chunks of up
+        to 12 iterations; stop when a chunk improves chi2 by less than
+        epsilon relative — reference Optimizer::epsilon_ semantics).
+
+        Returns (out_graph, chi2, iters_done, max_err, lin_ratio,
+        ang_ratio)."""
+        N, E = poses.shape[0], len(ef)
         Np = 1 << max(N - 1, 1).bit_length()
         Ep = 1 << max(E - 1, 1).bit_length()
         if self.mesh is not None:
@@ -1371,10 +1366,10 @@ class Rtabmap:
             # per-edge residual/Jacobian work partitions over chips; the
             # scatter-adds into the (replicated) pose vector become psums
             # (the sharded-PCG pattern, parallel/sharded.py docstring)
-            from jax.sharding import NamedSharding, PartitionSpec as P
+            from jax.sharding import NamedSharding, PartitionSpec as PS
 
-            s1 = NamedSharding(self.mesh, P(self.shard_axis))
-            s3 = NamedSharding(self.mesh, P(self.shard_axis, None, None))
+            s1 = NamedSharding(self.mesh, PS(self.shard_axis))
+            s3 = NamedSharding(self.mesh, PS(self.shard_axis, None, None))
             ef_j = jax.device_put(ef_j, s1)
             et_j = jax.device_put(et_j, s1)
             meas_j = jax.device_put(meas_j, s3)
@@ -1384,22 +1379,226 @@ class Rtabmap:
                           meas_j, info_j,
                           node_valid=jnp.asarray(node_valid),
                           edge_valid=ev_j,
-                          root=n_reg - 1,
+                          root=root_idx,
                           priors_idx=jnp.asarray(pr_idx, jnp.int32),
                           priors_meas=jnp.asarray(pr_meas, jnp.float32),
                           priors_info=jnp.asarray(pr_info, jnp.float32),
                           prior_valid=jnp.asarray(prior_valid, bool))
+        budget = max(self.optimizer_iterations, 1)
+        chunk = min(12, budget)
         if self.optimizer_robust:
             # Vertigo-equivalent robust mode (Optimizer/Robust): closure
-            # edges become switchable via dynamic covariance scaling
+            # edges become switchable via dynamic covariance scaling. The
+            # DCS phi annealing schedule spans one optimize() call, so the
+            # robust solve is a single chunk.
             switch_p = np.concatenate([switch, np.zeros(Ep - E, bool)])
-            out, chi2 = PG.optimize(g, iters=12,
+            out, chi2 = PG.optimize(g, iters=chunk,
                                     switch_mask=jnp.asarray(switch_p))
+            chi2 = float(chi2)
+            iters_done = chunk
         else:
-            out, chi2 = PG.optimize(g, iters=12)
+            if getattr(self, "_chi2_fn", None) is None:
+                self._chi2_fn = jax.jit(PG.graph_chi2)
+            prev = float(self._chi2_fn(g))
+            out, chi2 = g, prev
+            iters_done = 0
+            while iters_done < budget:
+                n = min(chunk, budget - iters_done)
+                out, chi2 = PG.optimize(out, iters=n)
+                chi2 = float(chi2)
+                iters_done += n
+                if not np.isfinite(chi2) or \
+                        abs(prev - chi2) <= self.optimizer_epsilon * max(prev, 1e-12):
+                    break
+                prev = chi2
         lin_ratio, ang_ratio = PG.edge_errors(out)
-        max_err = float(jnp.maximum(jnp.max(lin_ratio), jnp.max(ang_ratio))) if len(ef) else 0.0
-        st.add("Loop/Optimization max error ratio/", max_err)
+        max_err = float(jnp.maximum(jnp.max(lin_ratio), jnp.max(ang_ratio))) if E else 0.0
+        if st is not None:
+            st.add("Loop/Optimization max error ratio/", max_err)
+            st.add("Loop/Optimization error/", float(chi2))
+            st.add("Loop/Optimization iterations/", iters_done)
+        return out, chi2, iters_done, max_err, lin_ratio, ang_ratio
+
+    def _shortest_path_ids(self, a: int, b: int,
+                           exclude_pairs: set) -> Optional[List[int]]:
+        """BFS path a->b over the resident link graph, ignoring the edges
+        in ``exclude_pairs`` (the just-added closures — otherwise the path
+        would trivially be the new edge itself). Returns the node-id path
+        or None when disconnected."""
+        mem = self.memory
+        prev = {a: 0}
+        frontier = [a]
+        while frontier and b not in prev:
+            nxt = []
+            for i in frontier:
+                s = mem.get(i)
+                if s is None:
+                    continue
+                for j in s.links:
+                    if j < 0 or j in prev or \
+                            (i, j) in exclude_pairs or (j, i) in exclude_pairs:
+                        continue
+                    prev[j] = i
+                    nxt.append(j)
+            frontier = nxt
+        if b not in prev:
+            return None
+        path = [b]
+        while path[-1] != a:
+            path.append(prev[path[-1]])
+        return path
+
+    def _optimize_subgraph(self, st: Statistics,
+                           new_links: List[Link]) -> bool:
+        """Incremental (affected-subgraph) optimization: solve only the
+        loop cycle closed by the new links (shortest existing path between
+        the closure endpoints) plus a margin-2 neighborhood, with boundary
+        nodes anchored at their current optimized poses by strong priors —
+        the affected-clique role of iSAM2 (reference:
+        OptimizerGTSAM.cpp:111-124). Every Tpu/FullSolveEvery closures the
+        caller runs a full-graph solve instead, which also re-anchors any
+        accumulated boundary error. Returns True when handled (else the
+        caller falls back to the full solve)."""
+        mem = self.memory
+        if any(lk.to_id < 0 or lk.from_id < 0 for lk in new_links):
+            return False  # landmark closures take the full path
+        exclude = {(lk.from_id, lk.to_id) for lk in new_links}
+        sel: set = set()
+        for lk in new_links:
+            path = self._shortest_path_ids(lk.from_id, lk.to_id, exclude)
+            if path is None:
+                return False  # disconnected (e.g. first inter-session link)
+            sel.update(path)
+        # margin: multi-source BFS of depth 2 around the cycle
+        frontier = list(sel)
+        for _ in range(2):
+            nxt = []
+            for i in frontier:
+                s = mem.get(i)
+                if s is None:
+                    continue
+                for j in s.links:
+                    if j >= 0 and j not in sel:
+                        sel.add(j)
+                        nxt.append(j)
+            frontier = nxt
+        resident = mem.n_resident
+        if len(sel) > 0.7 * resident:
+            return False  # cycle covers most of the graph: full solve
+        ids = sorted(i for i in sel if mem.get(i) is not None)
+        if len(ids) < 2:
+            return False
+        idx = {i: k for k, i in enumerate(ids)}
+
+        def init_pose(i):
+            # this tick's new node has no optimized pose yet — seed it in
+            # the map frame (odometry ∘ correction), like _build_graph's
+            # fallback
+            p = self.optimized_poses.get(i)
+            if p is None:
+                p = T.np_compose(self.map_correction, mem.get(i).pose)
+            return np.asarray(p, np.float32)
+
+        poses = np.stack([init_pose(i) for i in ids])
+        closure_types = {LINK_GLOBAL_CLOSURE, LINK_LOCAL_SPACE_CLOSURE,
+                         LINK_LOCAL_TIME_CLOSURE, LINK_USER_CLOSURE}
+        ef, et, meas, info, switch = [], [], [], [], []
+        pr_idx, pr_meas, pr_info = [], [], []
+        seen = set()
+        boundary = set()
+        for i in ids:
+            s = mem.get(i)
+            for j, lk in s.links.items():
+                if lk.type == LINK_POSE_PRIOR:
+                    pr_idx.append(idx[i])
+                    pr_meas.append(np.asarray(lk.transform, np.float32))
+                    pr_info.append(np.asarray(lk.information, np.float32))
+                    continue
+                if j not in idx:
+                    if j >= 0 and lk.type in (LINK_NEIGHBOR,
+                                              LINK_NEIGHBOR_MERGED):
+                        boundary.add(i)
+                    continue
+                key = (min(i, j), max(i, j))
+                if key in seen:
+                    continue
+                seen.add(key)
+                ef.append(idx[lk.from_id] if lk.from_id in idx else idx[i])
+                et.append(idx[lk.to_id] if lk.to_id in idx else idx[j])
+                meas.append(np.asarray(lk.transform, np.float32))
+                info.append(np.asarray(lk.information, np.float32))
+                switch.append(lk.type in closure_types)
+        if not ef:
+            return False
+        # anchor boundary nodes at their current optimized poses so the
+        # frozen remainder of the graph stays consistent
+        for i in sorted(boundary):
+            pr_idx.append(idx[i])
+            pr_meas.append(poses[idx[i]])
+            pr_info.append(np.eye(6, dtype=np.float32) * 1e4)
+        priors = (np.asarray(pr_idx, np.int32),
+                  (np.stack(pr_meas) if pr_meas
+                   else np.zeros((0, 3, 4), np.float32)),
+                  (np.stack(pr_info) if pr_info
+                   else np.zeros((0, 6, 6), np.float32)))
+        out, chi2, iters_done, max_err, _lr, _ar = self._solve_padded(
+            poses, np.asarray(ef, np.int32), np.asarray(et, np.int32),
+            np.stack(meas), np.stack(info), np.asarray(switch, bool),
+            priors, root_idx=0, st=st)
+        st.add("Loop/Optimization incremental/", 1)
+        st.add("Loop/Optimization nodes/", len(ids))
+        new_poses = np.asarray(out.poses)
+        diverged = not np.isfinite(new_poses[: len(ids)]).all() \
+            or not np.isfinite(max_err)
+        if diverged or (self.max_error > 0 and max_err > self.max_error):
+            for lk in new_links:
+                self.memory.remove_link(lk.from_id, lk.to_id)
+            st.add("Loop/Rejected by optimization/", 1)
+            self.loop_closure_id = 0
+            return True
+        for k, i in enumerate(ids):
+            self.optimized_poses[i] = new_poses[k]
+        self._update_map_correction(max(ids))
+        return True
+
+    def _optimize(self, st: Statistics, new_links: List[Link]):
+        # Without new constraints the graph optimum is unchanged — just
+        # propagate the map correction onto the new node (the reference
+        # equally skips optimizeCurrentMap when no closure was added).
+        if not new_links:
+            # only nodes created this tick can lack an optimized pose —
+            # scanning all of WM here was O(WM) per closure-free tick
+            for i in self.memory.stm:
+                if i not in self.optimized_poses:
+                    self.optimized_poses[i] = np.asarray(
+                        T.np_compose(self.map_correction,
+                                     self.memory.get(i).pose), np.float32)
+            return
+        # incremental mode: optimize the affected subgraph only, with a
+        # periodic full solve (Tpu/IncrementalOptimization)
+        if (self.incremental_optimization and
+                self._closures_since_full < self.full_solve_every and
+                self._optimize_subgraph(st, new_links)):
+            self._closures_since_full += 1
+            return
+        self._closures_since_full = 0
+        ids, poses, ef, et, meas, info, switch, priors = self._build_graph()
+        if len(ids) < 2 or len(ef) < 1:
+            for i in ids:
+                self.optimized_poses[i] = np.asarray(
+                    T.np_compose(self.map_correction,
+                                 self.memory.get(i).pose), np.float32)
+            if ids:
+                self._update_map_correction(ids[-1])
+            return
+        N, E = len(ids), len(ef)
+        n_reg = sum(1 for i in ids if i >= 0)  # landmarks appended after
+        # gauge root (reference: RGBD/OptimizeFromGraphEnd — default false
+        # anchors the FIRST node of the map; true anchors the latest)
+        root_idx = n_reg - 1 if self.optimize_from_graph_end else 0
+        out, chi2, iters_done, max_err, lin_ratio, ang_ratio = \
+            self._solve_padded(poses, ef, et, meas, info, switch, priors,
+                               root_idx=root_idx, st=st)
         if len(ef):
             st.add("Loop/Optimization max ang error ratio/",
                    float(jnp.max(ang_ratio)))
@@ -1424,8 +1623,6 @@ class Rtabmap:
                    float(ids[int(ef[k_ang])]))
             st.add("Loop/Optimization max ang error to id/",
                    float(ids[int(et[k_ang])]))
-        st.add("Loop/Optimization error/", float(chi2))
-        st.add("Loop/Optimization iterations/", 12)
 
         def propagate_missing():
             # keep every resident node addressable in map frame even when
@@ -1451,10 +1648,12 @@ class Rtabmap:
             st.add("Loop/Optimization diverged/", 1)
             propagate_missing()
             return
+        reg_ids = [i for i in ids if i >= 0]
+        self.optimized_poses.bulk_set(
+            reg_ids, np.stack([new_poses[k] for k, i in enumerate(ids)
+                               if i >= 0]))
         for k, i in enumerate(ids):
-            if i >= 0:
-                self.optimized_poses[i] = new_poses[k]
-            else:
+            if i < 0:
                 self.landmark_poses[i] = new_poses[k]
         self._update_map_correction(ids[n_reg - 1])
 
@@ -2077,11 +2276,7 @@ class Rtabmap:
         depth = min(self.bayes.kernel.shape[0] - 2, 8)
         tbl = mem.ensure_neighbor_table(depth, 2 * depth + 1)
         nbr_idx, nbr_margin = tbl.flush()
-        wm_valid = np.zeros((mem.node_capacity,), bool)
-        for i in mem.wm:
-            s = mem.get(i)
-            if s.slot >= 0:
-                wm_valid[s.slot] = True
+        wm_valid = mem.host_wm
         P = BF.prediction_matrix(nbr_idx, nbr_margin, wm_valid,
                                  np.asarray(self.bayes.kernel),
                                  float(self.bayes.vp_prior))

@@ -113,6 +113,42 @@ class Signature:
 from functools import partial
 
 
+class IdList(list):
+    """Insertion-ordered id list with O(1) membership — the WM/STM
+    containers are scanned with ``in`` on hot per-tick paths (proximity
+    candidate filtering, STM checks); a plain list makes those O(WM). Assumes
+    unique ids (the reference's WM/STM sets are keyed maps)."""
+
+    def __init__(self, it=()):
+        super().__init__(it)
+        self._set = set(self)
+
+    def append(self, x):
+        super().append(x)
+        self._set.add(x)
+
+    def extend(self, it):
+        it = list(it)
+        super().extend(it)
+        self._set.update(it)
+
+    def remove(self, x):
+        super().remove(x)
+        self._set.discard(x)
+
+    def pop(self, idx=-1):
+        v = super().pop(idx)
+        self._set.discard(v)
+        return v
+
+    def clear(self):
+        super().clear()
+        self._set.clear()
+
+    def __contains__(self, x):
+        return x in self._set
+
+
 @partial(jax.jit, static_argnames=("iters", "min_inliers", "use_window",
                                    "use_gms"))
 def _registration_kernel(desc_a, valid_a, pts_a, uv_a, desc_b, valid_b3d,
@@ -286,8 +322,8 @@ class Memory:
 
         # host records
         self.signatures: Dict[int, Signature] = {}
-        self.stm: List[int] = []
-        self.wm: List[int] = []      # insertion-ordered (oldest first)
+        self.stm: List[int] = IdList()
+        self.wm: List[int] = IdList()  # insertion-ordered (oldest first)
         self._next_id = 1
         self._map_id = 0
 
@@ -314,6 +350,11 @@ class Memory:
                 self.word_nw, NamedSharding(mesh, P(ax)))
         self._free_slots = list(range(N - 1, -1, -1))
         self._slot_to_id = np.full((N,), -1, np.int64)
+        # host mirrors of the resident masks (slot-aligned): the engine's
+        # per-tick appearance prep reads these instead of fetching
+        # node_valid from device / scanning WM in Python (O(WM) at 16k+)
+        self.host_valid = np.zeros((N,), bool)
+        self.host_wm = np.zeros((N,), bool)
         # incremental Bayes neighbor table (created on first use by the
         # engine; kept in sync by link/slab mutations below)
         self._nbr_table = None
@@ -427,6 +468,9 @@ class Memory:
             jnp.asarray(sig.uv) if uv_dev is None else uv_dev,
             jnp.asarray(sig.pts3d) if pts_dev is None else pts_dev, True,
         )
+        self.host_valid[slot] = True
+        if sig.id in self.wm:
+            self.host_wm[slot] = True
         if self._nbr_table is not None:
             self._nbr_table.add_node(slot)
             for j, lk in sig.links.items():
@@ -444,6 +488,8 @@ class Memory:
             self.node_words, self.node_valid, self.word_nw, sig.slot,
             jnp.asarray(sig.word_ids),
         )
+        self.host_valid[sig.slot] = False
+        self.host_wm[sig.slot] = False
         self._slot_to_id[sig.slot] = -1
         self._free_slots.append(sig.slot)
         sig.slot = -1
@@ -503,9 +549,17 @@ class Memory:
                 # Memory::moveSignatureToWMFromSTM Memory.cpp:1447)
                 if self.reduce_graph and self.reduce_node(moved):
                     continue
-                self.wm.append(moved)
+                self._wm_append(moved)
             else:
                 self.delete_signature(moved)
+
+    def _wm_append(self, sid: int):
+        """WM insert + host mask upkeep (host_wm mirrors 'in WM and
+        resident' at slot granularity for the appearance prep)."""
+        self.wm.append(sid)
+        s = self.signatures.get(sid)
+        if s is not None and s.slot >= 0:
+            self.host_wm[s.slot] = True
 
     def delete_signature(self, sid: int):
         """Drop a signature entirely (slab + links + record)."""
@@ -741,7 +795,7 @@ class Memory:
                 break
             sig.in_ltm = False
             self._insert_slab(sig)
-            self.wm.append(sid)
+            self._wm_append(sid)
             out.append(sid)
         return out
 

@@ -37,6 +37,8 @@ _TPU_PARAMS = {
     "Tpu/InvertedIndexRefs": {"type": "int", "default": 128, "desc": "Max node references tracked per word in the device inverted index."},
     "Tpu/MeshShape": {"type": "str", "default": "", "desc": "Device mesh as 'dp,mp' (empty = single chip)."},
     "Tpu/RansacBatch": {"type": "int", "default": 256, "desc": "Number of RANSAC hypotheses evaluated in one batched solve."},
+    "Tpu/IncrementalOptimization": {"type": "bool", "default": True, "desc": "Optimize only the affected subgraph (loop cycle + margin) per closure, with periodic full solves (the iSAM2 role of OptimizerGTSAM)."},
+    "Tpu/FullSolveEvery": {"type": "int", "default": 8, "desc": "Run a full-graph solve after this many incremental (subgraph) optimizations."},
     "Tpu/Bfloat16Descriptors": {"type": "bool", "default": True, "desc": "Store descriptor slabs in bfloat16 for MXU-friendly NN search."},
     "OdomMono/InitialBaseline": {"type": "float", "default": 1.0, "desc": "Metric length assigned to the unobservable bootstrap baseline (mono scale fix)."},
     "OdomMono/MinParallax": {"type": "float", "default": 0.5, "desc": "Minimum ray parallax (degrees) to triangulate a new mono landmark."},
