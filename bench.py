@@ -6,25 +6,32 @@ matching + 192-hypothesis PnP-RANSAC, 320x240, 384 kp, over a batch of
 32 DISTINCT frame pairs (vmapped end to end; the deployment shape of a
 multi-camera rig / multi-session mapping fleet).
 
-Variance control: the timed section runs REPEATS times and the BEST
-(min-time) figure is reported with the observed spread — run-to-run
-noise is no longer indistinguishable from regressions (round-2 lesson).
+Robustness (round-4 rework): the tunneled TPU backend can wedge on init
+or first compile (round-3 post-mortem: a trivial jit took 167-240 s+
+through the tunnel). Each phase therefore runs in its OWN subprocess
+with a hard timeout; the primary retries with backoff across wedges; the
+primary JSON line is printed (flushed) the moment it is measured; extras
+are never skipped silently — every skipped phase is recorded in
+``extras_skipped`` with its reason, and per-phase compile/run times are
+reported. On total failure the final line is still machine-readable JSON
+with an ``error`` field.
 
-Also measured (extra JSON fields): the FULL SLAM engine tick
-(likelihood -> Bayes posterior -> hypothesis -> transfer bookkeeping) at
-1k and 4k resident WM nodes — the reference's bounded-update claim
-surface (Rtabmap.cpp:4548-4710) — and the 32-session fleet loop-closure
-tick (parallel/fleet.py).
+Extra phases: the FULL SLAM engine tick (likelihood -> Bayes posterior ->
+hypothesis -> transfer bookkeeping) at 1k, 4k and 8k resident WM nodes —
+the reference's bounded-update claim surface (Rtabmap.cpp:4548-4710) —
+and the 32-session fleet loop-closure tick (parallel/fleet.py).
 
 ``vs_baseline``: the reference (introlab/rtabmap) publishes no in-tree
 numbers (BASELINE.md); its JFR-2018 real-time operating point is ~30 Hz
 RGB-D visual odometry on a desktop CPU, so vs_baseline = fps / 30.
 
-Prints ONE JSON line.
+The LAST stdout line is the full JSON record (primary + extras).
 """
 import json
 import os
 import pathlib
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -37,9 +44,26 @@ import numpy as np
 # TPU executable path serialized fine across rounds.
 _cache = pathlib.Path(__file__).resolve().parent / ".jax_cache_tpu"
 
+PRIMARY_TIMEOUT_S = int(os.environ.get("BENCH_PRIMARY_TIMEOUT_S", "300"))
+PRIMARY_RETRIES = int(os.environ.get("BENCH_PRIMARY_RETRIES", "3"))
+EXTRA_TIMEOUT_S = int(os.environ.get("BENCH_EXTRA_TIMEOUT_S", "300"))
+TOTAL_BUDGET_S = int(os.environ.get("BENCH_TOTAL_BUDGET_S", "1500"))
+
 
 def _sync(x):
     return np.asarray(x).ravel()[0]
+
+
+def _enable_cache():
+    import jax
+
+    if jax.default_backend() != "cpu":
+        _cache.mkdir(exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", str(_cache))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+# ------------------------------------------------------------------- phases
 
 
 def bench_vo_kernel(repeats: int = 5, rounds: int = 10):
@@ -63,6 +87,7 @@ def bench_vo_kernel(repeats: int = 5, rounds: int = 10):
     )
     keys = jax.jit(lambda k: jax.random.split(k, B))(args[-1])
 
+    t_c = time.perf_counter()
     step = jax.jit(jax.vmap(fn))
     out = step(ga, da, gb, db, keys)
     # NOTE: through the tunneled TPU platform, block_until_ready() can
@@ -70,6 +95,7 @@ def bench_vo_kernel(repeats: int = 5, rounds: int = 10):
     # is the only trustworthy sync. Timing = queued dispatches + one final
     # fetch, with the tunnel round-trip measured separately and subtracted.
     _sync(out[1][0])
+    compile_s = time.perf_counter() - t_c
     triv = jax.jit(lambda x: x + 1)
     _sync(triv(out[1][0]))
     t0 = time.perf_counter()
@@ -85,7 +111,15 @@ def bench_vo_kernel(repeats: int = 5, rounds: int = 10):
         times.append(max(time.perf_counter() - t0 - rtt, 1e-9))
     best = min(times)
     spread = (max(times) - best) / best * 100.0
-    return rounds * B / best, spread
+    return {
+        "metric": "vo_step_fps_1chip",
+        "value": round(rounds * B / best, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(rounds * B / best / 30.0, 3),
+        "spread_pct": round(spread, 1),
+        "compile_s": round(compile_s, 1),
+        "rtt_ms": round(rtt * 1000.0, 1),
+    }
 
 
 def _populate_engine(n_nodes: int, node_capacity: int):
@@ -174,129 +208,157 @@ def _populate_engine(n_nodes: int, node_capacity: int):
 
 def bench_engine_tick(n_nodes: int, node_capacity: int, ticks: int = 12):
     """Median full-engine-tick latency with n_nodes resident (ms)."""
+    t_c = time.perf_counter()
     slam, frame = _populate_engine(n_nodes, node_capacity)
     pose = np.eye(3, 4, dtype=np.float32)
     times = []
+    setup_s = None
     for k in range(ticks):
         pose = pose.copy()
         pose[0, 3] += 0.3
         t0 = time.perf_counter()
         slam.process(frame(10_000 + k), pose, stamp=float(1000 + k))
         times.append(time.perf_counter() - t0)
-    return float(np.median(times) * 1000.0)
+        if setup_s is None:
+            setup_s = time.perf_counter() - t_c  # populate + compile tick
+    label = f"wm{n_nodes // 1000}k"
+    ms = float(np.median(times) * 1000.0)
+    rec = {
+        f"engine_tick_ms_{label}": round(ms, 2),
+        f"engine_setup_s_{label}": round(setup_s, 1),
+    }
+    if n_nodes <= 1000:
+        rec[f"engine_ticks_per_s_{label}"] = round(1000.0 / ms, 2)
+    return rec
 
 
 def bench_fleet_tick(batch: int = 32, repeats: int = 3):
     """32-session fleet loop-closure tick (ms) — shared vocab, per-session
     WM likelihood + Bayes posterior as ONE jitted device step."""
-    try:
-        import jax
-        import jax.numpy as jnp
+    import jax.numpy as jnp
 
-        from rtabmap_tpu.parallel import fleet as FL
+    from rtabmap_tpu.bayes.filter import DEFAULT_PREDICTION_LC
+    from rtabmap_tpu.parallel import fleet as FL
+    from rtabmap_tpu.vocab.dictionary import DESC_DIM
 
-        state, slab, word_valid = None, None, None
-        K, W, N = 256, 32768, 512
-        rng = np.random.RandomState(2)
-        from rtabmap_tpu.vocab.dictionary import DESC_DIM
-
-        slab = jnp.asarray(
-            np.where(rng.rand(W, DESC_DIM) > 0.5, 1, -1).astype(np.int8))
-        word_valid = jnp.ones((W,), bool)
-        state = FL.init_fleet(batch, N, K, W)
-        desc = jnp.asarray(
-            np.where(rng.rand(batch, K, DESC_DIM) > 0.5, 1, -1).astype(np.int8))
-        dv = jnp.ones((batch, K), bool)
-        from rtabmap_tpu.bayes.filter import DEFAULT_PREDICTION_LC
-
-        kernel = jnp.asarray(DEFAULT_PREDICTION_LC)
+    K, W, N = 256, 32768, 512
+    rng = np.random.RandomState(2)
+    slab = jnp.asarray(
+        np.where(rng.rand(W, DESC_DIM) > 0.5, 1, -1).astype(np.int8))
+    word_valid = jnp.ones((W,), bool)
+    state = FL.init_fleet(batch, N, K, W)
+    desc = jnp.asarray(
+        np.where(rng.rand(batch, K, DESC_DIM) > 0.5, 1, -1).astype(np.int8))
+    dv = jnp.ones((batch, K), bool)
+    kernel = jnp.asarray(DEFAULT_PREDICTION_LC)
+    t_c = time.perf_counter()
+    out = FL.fleet_tick(state, desc, dv, slab, word_valid, kernel,
+                        jnp.float32(0.9), W)
+    _sync(out[0])
+    compile_s = time.perf_counter() - t_c
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
         out = FL.fleet_tick(state, desc, dv, slab, word_valid, kernel,
                             jnp.float32(0.9), W)
         _sync(out[0])
-        times = []
-        for _ in range(repeats):
-            t0 = time.perf_counter()
-            out = FL.fleet_tick(state, desc, dv, slab, word_valid, kernel,
-                                jnp.float32(0.9), W)
-            _sync(out[0])
-            times.append(time.perf_counter() - t0)
-        return float(min(times) * 1000.0)
-    except Exception:
-        return None
+        times.append(time.perf_counter() - t0)
+    return {"fleet32_tick_ms": round(float(min(times) * 1000.0), 2),
+            "fleet_compile_s": round(compile_s, 1)}
+
+
+PHASES = {
+    "primary": bench_vo_kernel,
+    "tick1k": lambda: bench_engine_tick(1000, 2048, ticks=8),
+    "tick4k": lambda: bench_engine_tick(4096, 6144, ticks=6),
+    "tick8k": lambda: bench_engine_tick(8192, 10240, ticks=5),
+    "fleet": bench_fleet_tick,
+}
+
+
+def _run_phase_inline(name: str) -> None:
+    """Child-process entry: run one phase, print its JSON record."""
+    _enable_cache()
+    rec = PHASES[name]()
+    print(json.dumps(rec))
+    sys.stdout.flush()
+
+
+def _spawn_phase(name: str, timeout_s: int):
+    """Run a phase in a subprocess; returns (record | None, reason)."""
+    t0 = time.perf_counter()
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--phase", name],
+            capture_output=True, text=True, timeout=timeout_s,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+    except subprocess.TimeoutExpired:
+        return None, f"timeout_{timeout_s}s"
+    dt = time.perf_counter() - t0
+    if proc.returncode != 0:
+        tail = (proc.stderr or "").strip().splitlines()[-3:]
+        return None, f"rc={proc.returncode}: {' | '.join(tail)[:300]}"
+    for line in reversed((proc.stdout or "").strip().splitlines()):
+        try:
+            rec = json.loads(line)
+            rec[f"phase_{name}_s"] = round(dt, 1)
+            return rec, ""
+        except (json.JSONDecodeError, ValueError):
+            continue
+    return None, "no JSON in phase output"
 
 
 def main():
-    import signal
-    import sys
+    t_start = time.perf_counter()
 
-    # Hang watchdog: the tunneled TPU platform can wedge on backend init /
-    # first compile (observed in-round); convert an indefinite hang into a
-    # clean failure so the harness gets a diagnosis instead of a timeout.
-    def _alarm(signum, frame):
-        sys.stderr.write("bench: TPU backend unresponsive (watchdog fired) "
-                         "— no measurement taken this run\n")
-        sys.stderr.flush()
-        os._exit(2)
+    def remaining():
+        return TOTAL_BUDGET_S - (time.perf_counter() - t_start)
 
-    signal.signal(signal.SIGALRM, _alarm)
-    signal.alarm(int(os.environ.get("BENCH_WATCHDOG_S", "480")))
+    # --- primary, with retry + backoff across backend wedges
+    rec, fail_reasons = None, []
+    for attempt in range(PRIMARY_RETRIES):
+        rec, reason = _spawn_phase("primary", PRIMARY_TIMEOUT_S)
+        if rec is not None:
+            break
+        fail_reasons.append(reason)
+        sys.stderr.write(f"bench: primary attempt {attempt + 1} failed "
+                         f"({reason}); retrying\n")
+        time.sleep(15 * (attempt + 1))
+    if rec is None:
+        # machine-readable failure cause — never a bare watchdog message
+        print(json.dumps({
+            "metric": "vo_step_fps_1chip", "value": None, "unit": "frames/s",
+            "vs_baseline": None,
+            "error": "primary failed after retries",
+            "attempts": fail_reasons,
+        }))
+        sys.exit(2)
+    # primary secured: emit it IMMEDIATELY so a later wedge cannot eat it
+    print(json.dumps(rec))
+    sys.stdout.flush()
 
-    import jax
-
-    if jax.default_backend() != "cpu":
-        _cache.mkdir(exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", str(_cache))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-
-    import time as _time
-
-    t_start = _time.perf_counter()
-    fps, spread = bench_vo_kernel()
-
-    rec = {
-        "metric": "vo_step_fps_1chip",
-        "value": round(fps, 2),
-        "unit": "frames/s",
-        "vs_baseline": round(fps / 30.0, 3),
-        "spread_pct": round(spread, 1),
-    }
-
-    # primary metric secured: if the extras below wedge the tunnel, the
-    # watchdog must still emit the primary JSON line
-    def _alarm_extras(signum, frame):
-        sys.stderr.write("bench: extras watchdog fired — reporting primary "
-                         "metric only\n")
-        print(json.dumps(rec))
-        sys.stdout.flush()
-        os._exit(0)
-
-    signal.signal(signal.SIGALRM, _alarm_extras)
-    signal.alarm(max(int(520 - (_time.perf_counter() - t_start)), 30))
-
-    # optional engine-scale phases: each pays fresh jit compiles through
-    # the tunnel on a cold cache — run them only inside the time budget
-    # and never let a failure eat the primary metric
-    tick_1k = tick_4k = fleet_ms = None
-    try:
-        if _time.perf_counter() - t_start < 300:
-            tick_1k = bench_engine_tick(1000, 2048, ticks=8)
-        if _time.perf_counter() - t_start < 360:
-            tick_4k = bench_engine_tick(4096, 6144, ticks=6)
-        if _time.perf_counter() - t_start < 450:
-            fleet_ms = bench_fleet_tick()
-    except Exception:
-        pass
-    signal.alarm(0)
-
-    if tick_1k is not None:
-        rec["engine_tick_ms_wm1k"] = round(tick_1k, 2)
-        rec["engine_ticks_per_s_wm1k"] = round(1000.0 / tick_1k, 2)
-    if tick_4k is not None:
-        rec["engine_tick_ms_wm4k"] = round(tick_4k, 2)
-    if fleet_ms is not None:
-        rec["fleet32_tick_ms"] = round(fleet_ms, 2)
+    # --- extras: each in its own subprocess; skips are always recorded
+    skipped = {}
+    for name in ("tick1k", "tick4k", "tick8k", "fleet"):
+        # the 8k tick pays the largest populate + per-bucket compiles
+        cap = EXTRA_TIMEOUT_S * 2 if name == "tick8k" else EXTRA_TIMEOUT_S
+        budget = int(min(cap, remaining() - 20))
+        if budget < 60:
+            skipped[name] = f"time_budget ({int(remaining())}s left)"
+            continue
+        extra, reason = _spawn_phase(name, budget)
+        if extra is None:
+            skipped[name] = reason
+        else:
+            rec.update(extra)
+    if skipped:
+        rec["extras_skipped"] = skipped
+    rec["total_s"] = round(time.perf_counter() - t_start, 1)
     print(json.dumps(rec))
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--phase":
+        _run_phase_inline(sys.argv[2])
+    else:
+        main()

@@ -305,6 +305,14 @@ class Rtabmap:
             prev_id = self.memory.stm[-1] if self.memory.stm else None
             with st.time_stage("TimingMem/Signature creation/ms"):
                 sig = self.memory.create_signature(frame, odom_pose, stamp)
+            for k, v in getattr(self.memory, "last_create_timings",
+                                {}).items():
+                st.add(k, v)
+            # no dictionary-update thread to start/join in this design —
+            # quantization is a synchronous fused dispatch (reference:
+            # PreUpdateThread, Memory.cpp:5106)
+            st.add("TimingMem/Pre update/ms", 0.0)
+            st.add("TimingMem/Joining dictionary update/ms", 0.0)
             if sig.valid3d is not None:
                 st.add("Memory/Triangulated points/",
                        float(np.sum(np.asarray(sig.valid3d))))
@@ -335,10 +343,12 @@ class Rtabmap:
             if (raw is not None and self.bin_data_kept
                     and self.memory.db is not None):
                 gray, depth = raw
-                self.memory.db.save_raw_frame(
-                    sig.id, map_id=sig.map_id, stamp=stamp, pose=odom_pose,
-                    image=None if gray is None else np.asarray(gray),
-                    depth=None if depth is None else np.asarray(depth))
+                with st.time_stage("TimingMem/Compressing data/ms"):
+                    self.memory.db.save_raw_frame(
+                        sig.id, map_id=sig.map_id, stamp=stamp,
+                        pose=odom_pose,
+                        image=None if gray is None else np.asarray(gray),
+                        depth=None if depth is None else np.asarray(depth))
             neighbor_link = None
             if prev_id is not None:
                 prev = self.memory.get(prev_id)
@@ -360,8 +370,20 @@ class Rtabmap:
                     st.add("NeighborLinkRefining/Accepted/", float(accepted))
                     st.add("NeighborLinkRefining/ICP inliers ratio/",
                            float(res.correspondence_ratio))
-                    st.add("NeighborLinkRefining/Pts/",
-                           float(jnp.sum(scan.valid)))
+                    n_pts = float(jnp.sum(scan.valid))
+                    st.add("NeighborLinkRefining/Pts/", n_pts)
+                    st.add("NeighborLinkRefining/Inliers/",
+                           float(res.correspondence_ratio) * n_pts)
+                    # scan structural complexity: smallest/largest
+                    # eigenvalue of the point covariance (reference:
+                    # Icp/PointToPlaneMinComplexity gating)
+                    pv = np.asarray(scan.xyz())[np.asarray(scan.valid)]
+                    if pv.shape[0] >= 10:
+                        w_eig = np.linalg.eigvalsh(np.cov(pv.T))
+                        st.add("NeighborLinkRefining/ICP complexity/",
+                               float(w_eig[0] / max(w_eig[-1], 1e-12)))
+                    else:
+                        st.add("NeighborLinkRefining/ICP complexity/", 0.0)
                     if accepted:
                         # deviation of the refined link from raw odometry
                         # (reference Rtabmap.cpp:1697-1702)
@@ -402,12 +424,13 @@ class Rtabmap:
                 self._odom_cache_links[(last_id, sig.id)] = Link(
                     last_id, sig.id, LINK_NEIGHBOR, t_oc, info_from_cov(cov))
             self._odom_cache_poses[sig.id] = odom_pose
-            while len(self._odom_cache_poses) > self.max_odom_cache_size:
-                old = next(iter(self._odom_cache_poses))
-                del self._odom_cache_poses[old]
-                self._odom_cache_links = {
-                    k: v for k, v in self._odom_cache_links.items()
-                    if old not in k}
+            with st.time_stage("Timing/Cleaning neighbors/ms"):
+                while len(self._odom_cache_poses) > self.max_odom_cache_size:
+                    old = next(iter(self._odom_cache_poses))
+                    del self._odom_cache_poses[old]
+                    self._odom_cache_links = {
+                        k: v for k, v in self._odom_cache_links.items()
+                        if old not in k}
 
         # --- C. metric gating: small displacement
         small_displacement = False
@@ -488,6 +511,7 @@ class Rtabmap:
 
         # --- accept rules (reference order, Rtabmap.cpp:2185-2212: single
         # hypothesis -> epipolar verification -> loop ratio)
+        _t_hyp = time.perf_counter()
         loop_thr = self.loop_thr
         if (not self.memory.incremental and self.rgbd_mode and
                 loop_thr > self.aggressive_loop_thr):
@@ -514,6 +538,8 @@ class Rtabmap:
                 st.add("Loop/Suppressed hypothesis id/", hypothesis_id)
             else:
                 accepted_id = hypothesis_id
+        st.add("Timing/Hypotheses creation/ms",
+               (time.perf_counter() - _t_hyp) * 1000.0)
         st.add("Loop/Accepted hypothesis id/", accepted_id)
         st.add("Loop/RejectedHypothesis/",
                float(hypothesis_id > 0 and hypothesis_value >= loop_thr
@@ -533,10 +559,20 @@ class Rtabmap:
                                                   self._path_goal_index + 3]]
                 ltm_ids = [i for i in dict.fromkeys(near)
                            if (s := self.memory.get(i)) is not None and s.in_ltm]
+                st.add("Loop/Reactivate id/", ltm_ids[0] if ltm_ids else 0)
                 if ltm_ids:
-                    got = self.memory.retrieve(ltm_ids)
+                    if self.memory.db is not None:
+                        # drain the async writer before reading back nodes
+                        # (reference joins the DB trash thread before
+                        # reactivation, Rtabmap.cpp:2240-2242)
+                        with st.time_stage("Timing/Joining trash/ms"):
+                            self.memory.db.flush()
+                    with st.time_stage("Timing/Reactivation/ms"):
+                        got = self.memory.retrieve(ltm_ids)
                     st.add("Memory/Retrieved/", len(got))
                     st.add("Memory/Signatures retrieved/", len(got))
+                    st.add("Loop/Hypothesis reactivated/",
+                           float(hypothesis_id in got))
 
         # --- G. loop-closure transform
         links_added: List[Link] = []
@@ -560,6 +596,10 @@ class Rtabmap:
                 st.add("Loop/Visual inliers ratio/",
                        reg.get("inliers_ratio", 0.0))
                 st.add("Loop/Visual variance/", reg.get("variance", 0.0))
+                st.add("Loop/Visual inliers mean dist/m",
+                       reg.get("mean_dist", 0.0))
+                st.add("Loop/Visual inliers distribution/",
+                       reg.get("distribution", 0.0))
                 st.add("Loop/Linear variance/", reg.get("lin_variance", 0.0))
                 st.add("Loop/Angular variance/", reg.get("ang_variance", 0.0))
                 st.add("Loop/Visual words/",
@@ -637,7 +677,10 @@ class Rtabmap:
                 self.memory.add_link(lk)
                 if self._landmark_observers.get(lm_id):
                     links_added.append(lk)  # re-observation == closure
-                    st.add("Loop/Landmark_detected/", -lm_id)
+                    st.add("Loop/Landmark detected/", -lm_id)
+                    st.add("Loop/Landmark detected node ref/", sig.id)
+                else:
+                    st.add("Memory/New landmark/", -lm_id)
                 self._landmark_observers.setdefault(lm_id, []).append(sig.id)
             st.add("Loop/Landmarks observed/", len(landmarks))
 
@@ -658,6 +701,7 @@ class Rtabmap:
                     self.map_correction = np.asarray(T.np_compose(
                         corrected, T.np_inverse(odom_pose)), np.float32)
                     st.add("Loop/Localized/", 1)
+                    st.add("Proximity/Space detections added icp global/", 1)
             if loc_link is not None and loc_link.to_id == sig.id:
                 anchor = self.optimized_poses.get(loc_link.from_id)
                 if anchor is None:
@@ -677,10 +721,13 @@ class Rtabmap:
                         st.add("Loop/Localized/", 1)
                     else:
                         # inconsistent with recent odometry: reject
+                        cleared = 0
                         for lk in links_added:
                             if lk.to_id == sig.id:
                                 self.memory.remove_link(lk.from_id, lk.to_id)
+                                cleared += 1
                         st.add("Loop/Rejected by optimization/", 1)
+                        st.add("Loop/Proximity links cleared/", cleared)
                         self.loop_closure_id = 0
                         accepted_id = 0
                 else:
@@ -696,6 +743,26 @@ class Rtabmap:
                 self._optimize(st, links_added)
         else:
             self.optimized_poses[sig.id] = odom_pose
+
+        # repeated rejections mean an OLD wrong closure is pinning the
+        # graph: repair by deleting the worst old closure links
+        # (reference: repairGraph triggered from process, Rtabmap.cpp:5558)
+        if st.get("Loop/Rejected by optimization/") > 0:
+            self._consecutive_rejections = \
+                getattr(self, "_consecutive_rejections", 0) + 1
+            if (self.memory.incremental and
+                    self._consecutive_rejections >= 2):
+                removed = self.repair_graph(max_removals=2)
+                st.add("Loop/Optimization max error removed count/",
+                       len(removed))
+                if removed:
+                    st.add("Loop/Optimization max error removed from id/",
+                           removed[0][0])
+                    st.add("Loop/Optimization max error removed to id/",
+                           removed[0][1])
+                self._consecutive_rejections = 0
+        elif accepted_id > 0 or st.get("Loop/Localized/") > 0:
+            self._consecutive_rejections = 0
 
         # --- H2. goal tracking on the active planned path
         if self._path:
@@ -721,8 +788,23 @@ class Rtabmap:
         if not self.memory.incremental:
             st.add("Memory/Odom cache poses/", len(self._odom_cache_poses))
             st.add("Memory/Odom cache links/", len(self._odom_cache_links))
+        _t_fin = time.perf_counter()
         st.add("Memory/Working memory size/", len(self.memory.wm))
         st.add("Memory/Short time memory size/", len(self.memory.stm))
+        st.add("Memory/Short time memory inter size/",
+               sum(1 for i in self.memory.stm
+                   if (s := self.memory.get(i)) is not None and s.weight < 0))
+        st.add("Memory/Working memory inter size/",
+               self.memory.n_inter_wm)
+        st.add("Proximity/Space scan paths checked/",
+               getattr(self, "_last_scan_paths_checked", 0))
+        if accepted_id > 0 or st.get("Loop/Localized/") > 0:
+            # localization covariance summary (reference: MapToBase lin
+            # std/var from the localization link covariance)
+            reg = getattr(self.memory, "last_registration", {})
+            lin_var = reg.get("lin_variance", 0.0)
+            st.add("Loop/MapToBase lin var/m2", lin_var)
+            st.add("Loop/MapToBase lin std/m", float(np.sqrt(max(lin_var, 0.0))))
         st.add("Memory/Local graph size/", self.memory.n_resident)
         st.add("Memory/Rehearsal sim/",
                getattr(self.memory, "last_rehearsal_sim", 0.0))
@@ -749,13 +831,32 @@ class Rtabmap:
             if _os.path.exists(self.memory.db.path):
                 st.add("Memory/Database memory used/MB",
                        _os.path.getsize(self.memory.db.path) / 1e6)
-        try:
-            import resource
+        with st.time_stage("Timing/RAM estimation/ms"):
+            try:
+                import resource
 
-            st.add("Memory/RAM usage/MB",
-                   resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0)
-        except Exception:
-            pass
+                st.add("Memory/RAM usage/MB",
+                       resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0)
+            except Exception:
+                pass
+            # estimated working-set of the core structures (reference:
+            # Memory/RAM estimated — sums its containers' footprints)
+            mem = self.memory
+            slab_bytes = (mem.node_words.size * 4 + mem.node_uv.size * 4
+                          + mem.node_pts.size * 4 + mem.node_valid.size
+                          + mem.word_nw.size * 4
+                          + mem.vocab.slab.size + mem.vocab.word_valid.size)
+            sig_bytes = len(mem.signatures) * mem.K * (mem.vocab.slab.shape[1]
+                                                       + 4 + 8 + 12 + 1)
+            st.add("Memory/RAM estimated/MB",
+                   (slab_bytes + sig_bytes) / 1e6)
+        if "Memory/Images buffered/" not in st.data:
+            # synchronous call path: no capture queue between the sensor
+            # and the engine (the threaded pipeline overrides this via
+            # extra_stats, like the reference's RtabmapThread queue)
+            st.add("Memory/Images buffered/", 0)
+        st.add("Timing/Finalizing statistics/ms",
+               (time.perf_counter() - _t_fin) * 1000.0)
         st.add("Timing/Total/ms", timer.elapsed() * 1000.0)
         self.stats_history.append(st)
         if self.memory.db is not None:
@@ -1209,6 +1310,7 @@ class Rtabmap:
         from rtabmap_tpu.ops.icp import register_scans
 
         mem = self.memory
+        self._last_scan_paths_checked = len(scan_ids)
         anchor = scan_ids[0]
         anchor_pose = jnp.asarray(self.optimized_poses[anchor])
         A_inv = T.inverse(anchor_pose)
@@ -1667,6 +1769,15 @@ class Rtabmap:
         overflow = 0
         if self.memory_thr > 0:
             overflow = max(len(self.memory.wm) - self.memory_thr, 0)
+        # immunization accounting (reference: Memory::getRemovableSignatures
+        # immunized sets, Memory.cpp:2625-2750)
+        n_recent = int(len(self.memory.wm) * self.memory.recent_wm_ratio)
+        immune_global = (set(self._graph_neighborhood(self.loop_closure_id, 2))
+                         if self.loop_closure_id else set())
+        st.add("Memory/Immunized globally/", len(immune_global))
+        st.add("Memory/Immunized locally/",
+               len(self.memory.stm) + n_recent)
+        st.add("Memory/Immunized locally max/", n_recent)
         # elapsed time of THIS tick so far (Timing/Total/ms is only
         # written after transfer — comparing against it reads 0)
         if self.time_thr > 0 and elapsed_ms > self.time_thr:
@@ -1677,10 +1788,12 @@ class Rtabmap:
             overflow = max(overflow, self.memory.stm_size + 2 - free)
         if overflow <= 0:
             return
-        immune = set(self._graph_neighborhood(self.loop_closure_id, 2)) if self.loop_closure_id else set()
-        ids = self.memory.removable_ids(overflow, immune)
-        for i in ids:
-            self.memory.move_to_ltm(i)
+        ids = self.memory.removable_ids(overflow, immune_global)
+        with st.time_stage("Timing/Emptying trash/ms"):
+            # enqueue the spilled nodes onto the async DB writer
+            # (reference: moveToTrash + trash thread, Memory.cpp:2759)
+            for i in ids:
+                self.memory.move_to_ltm(i)
         st.add("Memory/Transferred/", len(ids))
 
     # ------------------------------------------------------- maintenance ops
@@ -1773,7 +1886,7 @@ class Rtabmap:
         self._optimize(Statistics(), [])
         return True
 
-    def repair_graph(self, max_removals: int = 5) -> int:
+    def repair_graph(self, max_removals: int = 5) -> List[Tuple[int, int]]:
         """Delete old closure links that keep the optimized graph above the
         RGBD/OptimizeMaxError gate (reference: Rtabmap::repairGraph
         Rtabmap.cpp:5558 — triggered when new closures are repeatedly
@@ -1782,7 +1895,7 @@ class Rtabmap:
         closure link with the largest error and re-optimize."""
         closure_types = (LINK_GLOBAL_CLOSURE, LINK_LOCAL_SPACE_CLOSURE,
                          LINK_LOCAL_TIME_CLOSURE, LINK_USER_CLOSURE)
-        removed = 0
+        removed: List[Tuple[int, int]] = []
         for _ in range(max_removals):
             ids, poses, ef, et, meas, info, switch, _priors = self._build_graph()
             if len(ids) < 2 or len(ef) < 1:
@@ -1811,7 +1924,7 @@ class Rtabmap:
             if target is None:
                 break
             self.memory.remove_link(*target)
-            removed += 1
+            removed.append(target)
         if removed:
             self._optimize(Statistics(), [])
         return removed

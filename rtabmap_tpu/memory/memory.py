@@ -24,6 +24,8 @@ matcher makes full re-matching cheap on the MXU.
 """
 from __future__ import annotations
 
+import time as _time
+
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
 
@@ -192,11 +194,23 @@ def _registration_kernel(desc_a, valid_a, pts_a, uv_a, desc_b, valid_b3d,
         # GMS needs statistical support; below ~30 matches keep NNDR's view
         mutual = jnp.where(jnp.sum(mutual) >= 30, mutual & gms_ok, mutual)
     mm = m_ba._replace(valid=mutual)
-    return R.ransac_pnp(
+    res = R.ransac_pnp(
         pts_a[mm.idx], uv_b, mm.valid, cam, key, iters=iters,
         reproj_px=reproj_px, min_inliers=min_inliers, guess=guess,
         pts3d_query=jnp.where(valid_b3d[:, None], pts_b, 0.0),
-    ), mm
+    )
+    # inlier statistics (reference: RegistrationInfo inliersMeanDistance /
+    # inliersDistribution consumed at Rtabmap.cpp:2893-2906): mean 3D range
+    # of the inlier points and their normalized image spread
+    w = res.inliers
+    n = jnp.maximum(jnp.sum(w), 1)
+    sel = pts_a[mm.idx]
+    mean_dist = jnp.sum(jnp.linalg.norm(sel, axis=-1) * w) / n
+    c = jnp.sum(uv_b * w[:, None], axis=0) / n
+    diag = jnp.sqrt(jnp.float32(cam_tuple[4]) ** 2
+                    + jnp.float32(cam_tuple[5]) ** 2)
+    spread = jnp.sqrt(jnp.sum(jnp.sum((uv_b - c) ** 2, -1) * w) / n) / diag
+    return res, mm, (mean_dist, spread)
 
 
 @partial(jax.jit, static_argnames=("iters", "min_inliers", "use_window",
@@ -355,6 +369,7 @@ class Memory:
         # node_valid from device / scanning WM in Python (O(WM) at 16k+)
         self.host_valid = np.zeros((N,), bool)
         self.host_wm = np.zeros((N,), bool)
+        self.n_inter_wm = 0   # weight<0 (intermediate) nodes in WM
         # incremental Bayes neighbor table (created on first use by the
         # engine; kept in sync by link/slab mutations below)
         self._nbr_table = None
@@ -432,7 +447,12 @@ class Memory:
         """
         import jax
 
+        _t_q = _time.perf_counter()
         word_ids, _ = self.vocab.quantize(frame.desc, frame.valid)
+        # quantization = the reference's VWDictionary::addNewWords stage
+        self.last_create_timings = {
+            "TimingMem/Add new words/ms":
+                (_time.perf_counter() - _t_q) * 1000.0}
         sid = self._next_id
         self._next_id += 1
         # ONE host transfer for the frame arrays (separate np.asarray
@@ -560,6 +580,15 @@ class Memory:
         s = self.signatures.get(sid)
         if s is not None and s.slot >= 0:
             self.host_wm[s.slot] = True
+        if s is not None and s.weight < 0:
+            self.n_inter_wm += 1
+
+    def _wm_discard(self, sid: int):
+        if sid in self.wm:
+            self.wm.remove(sid)
+            s = self.signatures.get(sid)
+            if s is not None and s.weight < 0:
+                self.n_inter_wm = max(self.n_inter_wm - 1, 0)
 
     def delete_signature(self, sid: int):
         """Drop a signature entirely (slab + links + record)."""
@@ -574,11 +603,10 @@ class Memory:
     def remove_node(self, sid: int):
         """delete_signature + STM/WM bookkeeping (reference:
         Memory::deleteLocation, used by Rtabmap::deleteLastLocation)."""
-        self.delete_signature(sid)
         if sid in self.stm:
             self.stm.remove(sid)
-        if sid in self.wm:
-            self.wm.remove(sid)
+        self._wm_discard(sid)
+        self.delete_signature(sid)
 
     def clear(self):
         """Drop all resident state and restart sessions (reference:
@@ -773,8 +801,7 @@ class Memory:
         (reference: Memory::moveToTrash Memory.cpp:2759 + async DB write)."""
         sig = self.signatures[sid]
         self._remove_slab(sig)
-        if sid in self.wm:
-            self.wm.remove(sid)
+        self._wm_discard(sid)
         sig.in_ltm = True
         if self.db is not None:
             self.db.save_signature(sig)
@@ -840,7 +867,7 @@ class Memory:
                 reproj_px, min_inliers)
         use_window = bool(guess_window) and has_guess and \
             self.guess_win_size > 0
-        res, mm = _registration_kernel(
+        res, mm, extras = _registration_kernel(
             jnp.asarray(a.desc), jnp.asarray(a.valid3d), jnp.asarray(a.pts3d),
             jnp.asarray(a.uv),
             jnp.asarray(b.desc), jnp.asarray(b.valid3d), jnp.asarray(b.uv),
@@ -852,10 +879,12 @@ class Memory:
         )
         # ONE host transfer for every scalar/output — separate fetches
         # each pay a tunnel round trip (~6 RTTs -> 1 measured on-chip)
-        success, transform, cov, n_inl, n_match = jax.device_get(
-            (res.success, res.transform, res.covariance, res.num_inliers,
-             jnp.sum(mm.valid)))
-        self._record_registration_host(int(n_inl), cov, int(n_match))
+        success, transform, cov, n_inl, n_match, mean_d, distrib = \
+            jax.device_get(
+                (res.success, res.transform, res.covariance,
+                 res.num_inliers, jnp.sum(mm.valid)) + extras)
+        self._record_registration_host(int(n_inl), cov, int(n_match),
+                                       float(mean_d), float(distrib))
         if not bool(success):
             return None, np.eye(6) * 9999.0, int(n_inl)
         return (np.asarray(transform), np.asarray(cov), int(n_inl))
@@ -886,7 +915,7 @@ class Memory:
                      cam.dist, cam.local_transform)
         use_window = bool(guess_window) and self.guess_win_size > 0
         keys = jax.random.split(key, len(A))
-        res, mm = _registration_kernel_batch(
+        res, mm, extras = _registration_kernel_batch(
             jnp.asarray(np.stack([a.desc for a in A])),
             jnp.asarray(np.stack([a.valid3d for a in A])),
             jnp.asarray(np.stack([a.pts3d for a in A])),
@@ -899,9 +928,10 @@ class Memory:
             jnp.float32(self.cor_nndr), jnp.float32(self.guess_win_size),
             use_window=use_window, use_gms=self.cor_nn_type == 7,
         )
-        success, transform, cov, n_inl, n_match = jax.device_get(
-            (res.success, res.transform, res.covariance, res.num_inliers,
-             jnp.sum(mm.valid, axis=-1)))
+        success, transform, cov, n_inl, n_match, mean_d, distrib = \
+            jax.device_get(
+                (res.success, res.transform, res.covariance,
+                 res.num_inliers, jnp.sum(mm.valid, axis=-1)) + extras)
         out = []
         for p in range(len(A)):
             if bool(success[p]):
@@ -912,7 +942,9 @@ class Memory:
         # stats of the last attempted registration (engine Loop/Visual*)
         last = len(A) - 1
         self._record_registration_host(int(n_inl[last]), cov[last],
-                                       int(n_match[last]))
+                                       int(n_match[last]),
+                                       float(mean_d[last]),
+                                       float(distrib[last]))
         return out
 
     def _record_registration(self, res, matches: int):
@@ -923,7 +955,9 @@ class Memory:
         self._record_registration_host(
             int(res.num_inliers), np.asarray(res.covariance), matches)
 
-    def _record_registration_host(self, inl: int, cov, matches: int):
+    def _record_registration_host(self, inl: int, cov, matches: int,
+                                  mean_dist: float = 0.0,
+                                  distribution: float = 0.0):
         cov = np.asarray(cov)
         self.last_registration = {
             "matches": matches,
@@ -932,6 +966,8 @@ class Memory:
             "variance": float(max(cov[0, 0], cov[5, 5])),
             "lin_variance": float(cov[0, 0]),
             "ang_variance": float(cov[5, 5]),
+            "mean_dist": mean_dist,
+            "distribution": distribution,
         }
 
     def _compute_transform_superglue(self, a: Signature, b: Signature,

@@ -63,12 +63,38 @@ def run_dataset(frames: Iterable, camera, params=None, stereo_model=None,
                 break
             with profile_trace.step(i, enabled=profiling):
                 gray = jnp.asarray(fr.gray)
+                _t_ex = time.perf_counter()
+                stereo_used = False
                 if fr.depth is not None:
                     feat = extract_rgbd(gray, jnp.asarray(fr.depth))
                 elif fr.right is not None:
                     feat = extract_stereo(gray, jnp.asarray(fr.right))
+                    stereo_used = True
                 else:
                     raise ValueError("frame has neither depth nor right image")
+                jax.block_until_ready(feat.uv)
+                extract_ms = (time.perf_counter() - _t_ex) * 1000.0
+                # capture-stage timing parity (reference: createSignature's
+                # TimingMem split, Memory.cpp:5025+): detection, descriptors,
+                # 3D keypoints, subpixel, and stereo correspondences all run
+                # inside the ONE fused extract dispatch here — the total is
+                # attributed to detection, the fused stages report 0 (like
+                # the reference reports 0 for stages its config skips)
+                capture_stats = {
+                    "TimingMem/Keypoints detection/ms": extract_ms,
+                    "TimingMem/Descriptors extraction/ms": 0.0,
+                    "TimingMem/Keypoints 3D/ms": 0.0,
+                    "TimingMem/Keypoints 3D motion/ms": 0.0,
+                    "TimingMem/Subpixel/ms": 0.0,
+                    "TimingMem/Post decimation/ms": 0.0,
+                    "TimingMem/Rectification/ms": 0.0,
+                    "TimingMem/Stereo correspondences/ms":
+                        extract_ms if stereo_used else 0.0,
+                    "TimingMem/Scan filtering/ms": 0.0,
+                    "TimingMem/Occupancy grid/ms": 0.0,
+                    "TimingMem/Markers detection/ms": 0.0,
+                    "Memory/Images buffered/": 0,
+                }
                 imu_quat = None
                 if fr.imu:
                     from rtabmap_tpu.odometry.imu_filter import integrate_imu
@@ -112,7 +138,8 @@ def run_dataset(frames: Iterable, camera, params=None, stereo_model=None,
                     feat, np.asarray(pose), np.asarray(cov), stamp=fr.stamp,
                     gt_pose=fr.gt_pose,
                     raw=(fr.gray, fr.depth) if db is not None else None,
-                    extra_stats={"Odometry/TotalTime/ms": odom_ms})
+                    extra_stats={"Odometry/TotalTime/ms": odom_ms,
+                                 **capture_stats})
             n_loops += int(st.loop_closure_id > 0)
             est_odom.append(np.asarray(pose))
             est_stamps.append(fr.stamp)

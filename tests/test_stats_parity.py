@@ -68,8 +68,10 @@ def test_registry_name_subset_emitted():
     extensions = {"Proximity/Space links added/",   # our summary counter
                   "Proximity/Time links added/"}
     assert fam - extensions <= registry, fam - extensions - registry
-    # coverage count keeps ratcheting up (round-3 floor: 101/163 live)
-    assert len(emitted & registry) >= 95, len(emitted & registry)
+    # single-scenario ratchet pinned at the measured high-water mark
+    # (round 4: 121 live in this scenario; the FULL 163/163 surface is
+    # asserted by test_full_registry_coverage below)
+    assert len(emitted & registry) >= 121, len(emitted & registry)
 
 
 def test_gt_stats_zero_for_perfect_odometry():
@@ -163,3 +165,167 @@ def test_intermediate_nodes():
         assert (sid - 1) in sigs[sid].links, sid
     # intermediates have no words and never become the hypothesis
     assert all(int(np.sum(np.asarray(s.word_ids) >= 0)) == 0 for s in inter)
+
+
+# ---------------------------------------------------------------------------
+# Full-registry coverage: every one of the 163 reference statistic names is
+# emitted live by SOME engine scenario (reference: Statistics.h:43-220).
+# ---------------------------------------------------------------------------
+
+
+def _fw_engine(extra=None, db=None, **kw):
+    from rtabmap_tpu.utils.params import Parameters as P
+
+    p = P({"Tpu/VocabularyCapacity": 8192, "Rtabmap/LoopThr": 0.05,
+           **(extra or {})})
+    return Rtabmap(CAM, p, db=db, node_capacity=64, words_per_frame=128, **kw)
+
+
+def _fw_run(slam, world, ways, stamps=None, **process_kw):
+    stats = []
+    for i, w in enumerate(ways):
+        pose = world.pose(w, nudge=0.01 if i >= len(ways) // 2 else 0.0)
+        stamp = stamps[i] if stamps else float(i)
+        stats.append(slam.process(world.frame(w, i), pose, stamp=stamp,
+                                  **process_kw))
+    return stats
+
+
+def test_full_registry_coverage(tmp_path):
+    from types import SimpleNamespace
+
+    from rtabmap_tpu.core.laser_scan import ScanFormat, make_scan
+    from rtabmap_tpu.datasets.synthetic import FeatureWorld
+    from rtabmap_tpu.memory.db import Database
+
+    emitted = set()
+
+    def collect(stats):
+        for st in stats:
+            emitted.update(st.data)
+
+    world = FeatureWorld(CAM, n_ways=32, K=128)
+    ways = list(range(20)) + list(range(10))
+
+    # --- scenario A: mapping with revisit + DB + LTM transfer + gt +
+    # velocity + raw keep + VhEp verification + capture-stage extra stats
+    db = Database(str(tmp_path / "a.db"))
+    slam = _fw_engine({"VhEp/Enabled": True, "Rtabmap/MemoryThr": 14,
+                       "Mem/BinDataKept": True}, db=db)
+    capture = {"TimingMem/Keypoints detection/ms": 1.0,
+               "TimingMem/Descriptors extraction/ms": 0.0,
+               "TimingMem/Keypoints 3D/ms": 0.0,
+               "TimingMem/Keypoints 3D motion/ms": 0.0,
+               "TimingMem/Subpixel/ms": 0.0,
+               "TimingMem/Post decimation/ms": 0.0,
+               "TimingMem/Rectification/ms": 0.0,
+               "TimingMem/Stereo correspondences/ms": 0.0,
+               "TimingMem/Scan filtering/ms": 0.0,
+               "TimingMem/Occupancy grid/ms": 0.0,
+               "TimingMem/Markers detection/ms": 0.0,
+               "Memory/Images buffered/": 0,
+               "Odometry/TotalTime/ms": 5.0}
+    stats_a = []
+    gray = np.zeros((240, 320), np.float32)
+    for i, w in enumerate(ways):
+        pose = world.pose(w, nudge=0.01 if i >= 20 else 0.0)
+        stats_a.append(slam.process(
+            world.frame(w, i), pose, stamp=float(i),
+            gt_pose=world.pose(w), velocity=np.zeros(6, np.float32),
+            raw=(gray, None), extra_stats=capture))
+    collect(stats_a)
+    # rejection-repair pass: an accepted closure exists; drop the gate so
+    # every further closure is rejected twice -> repairGraph stats
+    slam.max_error = 1e-6
+    collect(_fw_run(slam, world, [0, 1, 2, 3],
+                    stamps=[100.0, 101.0, 102.0, 103.0]))
+    slam.close()
+    db.close()
+
+    # --- scenario B: localization mode against the saved map (odom cache,
+    # proximity links cleared, MapToBase var)
+    db2 = Database(str(tmp_path / "a.db"))
+    slam_loc = Rtabmap.load(
+        db2, CAM,
+        type(slam.params)({"Tpu/VocabularyCapacity": 8192,
+                           "Rtabmap/LoopThr": 0.03,
+                           "Mem/IncrementalMemory": False}),
+        node_capacity=64, words_per_frame=128)
+    collect(_fw_run(slam_loc, world, [0, 1, 2, 3, 4, 5]))
+    # an odometry-inconsistent localization: features say waypoint 3, the
+    # odometry pose drifts 0.5 m sideways (within the proximity filtering
+    # radius, far outside the odometry covariance) -> odom-cache
+    # verification rejects and clears the links
+    bad_pose = world.pose(3)
+    bad_pose[1, 3] += 0.5
+    collect([slam_loc.process(world.frame(3, 99), bad_pose, stamp=6.0)])
+    db2.close()
+
+    # --- scenario C: scans (neighbor refining + scan proximity) +
+    # proximity by time (multi-session STM overlap) + loop-ratio
+    # suppression + intermediate nodes (detection-rate gating)
+    from rtabmap_tpu.geometry import transform as T
+
+    def scan_at(x, seed):
+        rng = np.random.default_rng(seed)
+        n = 256
+        ang = rng.uniform(0, 2 * np.pi, n)
+        dx, dz = np.cos(ang), np.sin(ang)
+        t = np.minimum(4.0 / np.maximum(np.abs(dx), 1e-6),
+                       4.0 / np.maximum(np.abs(dz), 1e-6))
+        pts_w = np.stack([dx * t - x, rng.uniform(-0.05, 0.05, n),
+                          dz * t], 1).astype(np.float32)
+        return make_scan(jnp.asarray(pts_w), fmt=ScanFormat.XYZ,
+                         valid=jnp.ones(n, bool))
+
+    db3 = Database(str(tmp_path / "c.db"))
+    slam_c = _fw_engine({"RGBD/NeighborLinkRefining": True,
+                         "RGBD/ProximityByTime": True,
+                         "Rtabmap/LoopRatio": 2.0,
+                         "Rtabmap/DetectionRate": 0}, db=db3)
+    stats_c = []
+    for i, w in enumerate(list(range(10)) + list(range(5))):
+        if i == 10:
+            slam_c.trigger_new_map()
+        pose = world.pose(w)
+        stats_c.append(slam_c.process(
+            world.frame(w, i), pose, stamp=float(i),
+            scan=scan_at(0.3 * w, seed=w)))
+    collect(stats_c)
+    slam_c.close()
+    db3.close()
+
+    # --- scenario C2: intermediate nodes via detection-rate gating
+    slam_c2 = _fw_engine({"Rtabmap/CreateIntermediateNodes": True,
+                          "Rtabmap/DetectionRate": 0.5})
+    collect(_fw_run(slam_c2, world, [0, 1, 2, 3],
+                    stamps=[0.0, 1.0, 1.5, 2.0]))
+
+    # --- scenario C3: localization against the scan map — an unknown-
+    # appearance frame with a known scan localizes via the GLOBAL scan map
+    # (Proximity/Space detections added icp global)
+    db4 = Database(str(tmp_path / "c.db"))
+    slam_g = Rtabmap.load(
+        db4, CAM,
+        type(slam.params)({"Tpu/VocabularyCapacity": 8192,
+                           "Mem/IncrementalMemory": False,
+                           "RGBD/ProximityGlobalScanMap": True,
+                           "RGBD/LocalRadius": 0}),
+        node_capacity=64, words_per_frame=128)
+    unseen = FeatureWorld(CAM, n_ways=8, K=128, seed=99)
+    collect([slam_g.process(unseen.frame(6, 7), world.pose(2),
+                            stamp=0.0, scan=scan_at(0.6, seed=2))])
+    db4.close()
+
+    # --- scenario D: landmarks (new + re-observed)
+    slam_d = _fw_engine()
+    lm = SimpleNamespace(id=7, transform=np.eye(3, 4, dtype=np.float32),
+                         variance_linear=0.01, variance_angular=0.01)
+    collect(_fw_run(slam_d, world, [0, 1, 0, 1], landmarks=[lm]))
+
+    registry = set(Statistics.reference_registry())
+    live = emitted & registry
+    missing = registry - emitted
+    assert not missing, (len(missing), sorted(missing))
+    # ratchet pinned at the full surface
+    assert len(live) == len(registry) == 163
