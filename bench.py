@@ -272,6 +272,10 @@ PHASES = {
     "tick1k": lambda: bench_engine_tick(1000, 2048, ticks=8),
     "tick4k": lambda: bench_engine_tick(4096, 6144, ticks=6),
     "tick8k": lambda: bench_engine_tick(8192, 10240, ticks=5),
+    # scale-gauntlet phases (not in the default run — PARITY.md curve):
+    "tick16k": lambda: bench_engine_tick(16384, 20480, ticks=4),
+    "tick32k": lambda: bench_engine_tick(32768, 36864, ticks=3),
+    "tick64k": lambda: bench_engine_tick(65536, 73728, ticks=3),
     "fleet": bench_fleet_tick,
 }
 

@@ -88,14 +88,23 @@ def _predict_and_update(posterior, likelihood, virtual_score, nbr_idx, nbr_margi
     post_real = posterior[:N] * node_valid         # (N,)
     contrib = post_real[:, None] * w * scale[:, None]
     tgt = jnp.where(nbr_idx >= 0, nbr_idx, N)
-    # TPU form: the (N*Kn,) scalar scatter-add serializes; a broadcast
-    # compare * contribution fused into the bin reduction never
-    # materializes the (N+1, N*Kn) mask (same reformulation as the tf-idf
-    # likelihood) — ~4x on the fleet's vmapped Bayes step
-    tgtf = tgt.reshape(-1)
-    cf = contrib.reshape(-1)
-    bins = jnp.arange(N + 1)
-    prior = jnp.sum((tgtf[None, :] == bins[:, None]) * cf[None, :], axis=1)
+    if N <= 2048:
+        # TPU form for small WM: the (N*Kn,) scalar scatter-add
+        # serializes; a broadcast compare * contribution fused into the
+        # bin reduction never materializes the (N+1, N*Kn) mask (same
+        # reformulation as the tf-idf likelihood) — ~4x on the fleet's
+        # vmapped Bayes step
+        tgtf = tgt.reshape(-1)
+        cf = contrib.reshape(-1)
+        bins = jnp.arange(N + 1)
+        prior = jnp.sum((tgtf[None, :] == bins[:, None]) * cf[None, :],
+                        axis=1)
+    else:
+        # large WM: the broadcast form is O(N^2*Kn) — at 16k+ nodes the
+        # fused compare matrix dwarfs the scatter's serialization cost, so
+        # scatter-add wins by orders of magnitude
+        prior = jnp.zeros((N + 1,)).at[tgt.reshape(-1)].add(
+            contrib.reshape(-1), mode="drop")
     # self term
     prior = prior + jnp.concatenate(
         [post_real * self_extra * scale, jnp.zeros((1,))])

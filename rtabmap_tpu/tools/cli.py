@@ -164,6 +164,45 @@ def tool_info(argv: List[str]):
     return info
 
 
+def tool_import_ref_db(argv: List[str]):
+    """Summarize / convert a reference-format rtabmap .db (read-only
+    importer, memory/ref_db.py). Usage: import_ref_db <ref.db>
+    [--out our.db] [--max-frames N]."""
+    from rtabmap_tpu.memory.ref_db import RefDatabase
+
+    path = argv[0]
+    out_path = None
+    if "--out" in argv:
+        out_path = argv[argv.index("--out") + 1]
+    ref = RefDatabase(path)
+    sigs, opt_poses, params = ref.load_all()
+    by_type = {}
+    for s in sigs.values():
+        for lk in s.links.values():
+            by_type[lk.type] = by_type.get(lk.type, 0) + 1
+    info = {
+        "path": path, "version": ref.version, "nodes": len(sigs),
+        "links_by_type": {k: v // 2 if k != 8 else v
+                          for k, v in sorted(by_type.items())},
+        "optimized_poses": len(opt_poses), "parameters": len(params),
+        "sessions": len({s.map_id for s in sigs.values()}),
+    }
+    if out_path:
+        from rtabmap_tpu.memory.db import Database
+
+        out = Database(out_path, async_writes=False)
+        for s in sigs.values():
+            out.save_signature(s)
+        out.save_admin(params={k: v for k, v in params.items()},
+                       optimized_poses=opt_poses, vocab=None)
+        out.flush()
+        out.close()
+        info["converted_to"] = out_path
+    ref.close()
+    print(json.dumps(info, indent=2))
+    return info
+
+
 def tool_report(argv: List[str]):
     """Evaluation report over map stores (reference: tools/Report/main.cpp
     — re-optimization + gt ATE/KITTI/relative/loop errors, pose exports,
@@ -1171,6 +1210,7 @@ TOOLS = {
     "euroc_dataset": tool_euroc_dataset,
     "cid_sims_dataset": tool_cid_sims_dataset,
     "info": tool_info,
+    "import_ref_db": tool_import_ref_db,
     "report": tool_report,
     "reprocess": tool_reprocess,
     "export": tool_export,

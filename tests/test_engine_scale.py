@@ -42,3 +42,31 @@ def test_memory_thr_bounds_wm():
         slam.process(frame(20_000 + k), pose, stamp=float(20_000 + k))
     # STM ring still fills, but WM is bounded at the threshold
     assert len(slam.memory.wm) <= 800 + slam.memory.stm_size
+
+
+@pytest.mark.slow
+def test_16k_wm_tick():
+    """Scale gauntlet: a 16k-node resident WM ticks, stays finite, and the
+    TimeThr transfer bound still engages (VERDICT r3 #3 — the reference
+    bounds update time regardless of map size, Rtabmap.cpp:4548-4710)."""
+    slam, frame = bench._populate_engine(16384, 20480)
+    pose = np.eye(3, 4, dtype=np.float32)
+    pose[0, 3] = 0.3 * 16384
+    times = []
+    for k in range(3):
+        pose = pose.copy()
+        pose[0, 3] += 0.3
+        t0 = time.perf_counter()
+        st = slam.process(frame(30_000 + k), pose, stamp=float(30_000 + k))
+        times.append(time.perf_counter() - t0)
+    assert np.isfinite(times).all()
+    assert st.get("Memory/Working memory size/") >= 16000
+    # host-side bookkeeping must not dominate at this scale: the
+    # proximity/appearance prep is vectorized (no O(WM) python loops) —
+    # ticks after the compile tick stay within 4x of each other
+    assert times[-1] <= times[1] * 4 + 1.0
+
+    # the time-threshold bound engages and sheds WM
+    slam.time_thr = 1e-3
+    st = slam.process(frame(30_100), pose, stamp=30_100.0)
+    assert st.get("Memory/Transferred/") > 0
