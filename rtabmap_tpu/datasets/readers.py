@@ -116,10 +116,14 @@ class TumRgbdDataset:
         self.pairs = _associate(rgb, depth)
         gt_path = os.path.join(root, "groundtruth.txt")
         self.gt = _read_tum_gt(gt_path) if os.path.exists(gt_path) else []
-        # probe image size
+        # probe image size; scale the published 640x480 intrinsics when
+        # the images are a different resolution (lets downscaled copies
+        # and synthetic layout fixtures run unchanged)
         g0 = _load_gray(os.path.join(root, self.pairs[0][1]))
         H, W = g0.shape
-        self.camera = C.CameraModel.make(fx, fy, cx, cy, W, H)
+        sx, sy = W / 640.0, H / 480.0
+        self.camera = C.CameraModel.make(fx * sx, fy * sy, cx * sx, cy * sy,
+                                         W, H)
         self._first = g0
 
     def __len__(self):
@@ -200,13 +204,36 @@ class EurocDataset:
                 return [row for row in csv.reader(f) if row and not row[0].startswith("#")]
 
         self.rows = read_csv(os.path.join(cam0, "data.csv"))
-        # nominal EuRoC cam0 intrinsics (sensor.yaml values)
+        # calibration from the dataset's own mav0/cam0/sensor.yaml when
+        # present (the real ASL layout carries it); nominal cam0 values as
+        # the fallback
         fx, fy, cx, cy = 458.654, 457.296, 367.215, 248.375
-        self.camera = C.CameraModel.make(
-            fx, fy, cx, cy, 752, 480,
-            dist=np.array([-0.28340811, 0.07395907, 0.00019359, 1.76187114e-05, 0.0], np.float32),
-        )
-        self.stereo = C.StereoCameraModel.make(fx, fy, cx, cy, 0.11, 752, 480)
+        W, H = 752, 480
+        dist = np.array([-0.28340811, 0.07395907, 0.00019359,
+                         1.76187114e-05, 0.0], np.float32)
+        baseline = 0.11
+        yml = os.path.join(cam0, "sensor.yaml")
+        if os.path.exists(yml):
+            try:
+                import yaml
+
+                with open(yml) as f:
+                    cal = yaml.safe_load(f)
+                if cal.get("intrinsics"):
+                    fx, fy, cx, cy = [float(x) for x in cal["intrinsics"]]
+                if cal.get("resolution"):
+                    W, H = [int(x) for x in cal["resolution"]]
+                dc = cal.get("distortion_coefficients")
+                if dc is not None:
+                    d5 = np.zeros(5, np.float32)
+                    d5[: min(len(dc), 5)] = np.asarray(dc[:5], np.float32)
+                    dist = d5 if np.abs(d5).sum() > 0 else None
+                if cal.get("baseline"):
+                    baseline = float(cal["baseline"])
+            except Exception:
+                pass
+        self.camera = C.CameraModel.make(fx, fy, cx, cy, W, H, dist=dist)
+        self.stereo = C.StereoCameraModel.make(fx, fy, cx, cy, baseline, W, H)
         gt_csv = os.path.join(root, "mav0", "state_groundtruth_estimate0", "data.csv")
         self.gt = []
         if os.path.exists(gt_csv):
