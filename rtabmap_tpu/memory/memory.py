@@ -521,8 +521,11 @@ class Memory:
         if a is not None:
             a.links[link.to_id] = link
         if b is not None:
+            # host numpy inverse: a device dispatch per link dominated
+            # engine population/tick time through the TPU tunnel
             inv = Link(link.to_id, link.from_id, link.type,
-                       np.asarray(T.inverse(jnp.asarray(link.transform))),
+                       T.np_inverse(np.asarray(link.transform,
+                                               np.float32)),
                        link.information)
             b.links[link.from_id] = inv
         self._nbr_edge(link, add=True)
@@ -683,9 +686,9 @@ class Memory:
         nb = new.links.get(old_id)
         moving = False
         if nb is not None:
-            d = jnp.asarray(nb.transform)
-            lin = float(T.translation_norm(d))
-            ang = float(T.rotation_angle(d))
+            d = np.asarray(nb.transform, np.float32)
+            lin = float(T.np_translation_norm(d))
+            ang = float(T.np_rotation_angle(d))
             moving = (lin > self.rehearsal_max_distance or
                       ang > self.rehearsal_max_angle)
         if moving and self.rehearsal_weight_ignored_while_moving:
@@ -708,8 +711,8 @@ class Memory:
             for j, l in list(drop.links.items()):
                 if j == keep.id:
                     continue
-                t = np.asarray(T.compose(jnp.asarray(t_keep_drop),
-                                         jnp.asarray(l.transform)), np.float32)
+                t = T.np_compose(np.asarray(t_keep_drop, np.float32),
+                                 np.asarray(l.transform, np.float32))
                 if j not in keep.links:
                     self.add_link(Link(keep.id, j, l.type, t, l.information))
             keep.label = keep.label or drop.label
@@ -757,13 +760,13 @@ class Memory:
                 continue
             if l.type not in (LINK_NEIGHBOR, LINK_NEIGHBOR_MERGED,
                               LINK_VIRTUAL_CLOSURE):
-                inv = T.inverse(jnp.asarray(l.transform))
+                inv = T.np_inverse(np.asarray(l.transform, np.float32))
                 for k, nbl in neighbors.items():
                     other = self.signatures.get(k)
                     if other is None or k == j or k in partner.links:
                         continue
-                    t = np.asarray(T.compose(inv, jnp.asarray(nbl.transform)),
-                                   np.float32)
+                    t = T.np_compose(inv, np.asarray(nbl.transform,
+                                                     np.float32))
                     self.add_link(Link(j, k, LINK_NEIGHBOR_MERGED, t,
                                        nbl.information))
         # persist the reduced node to LTM before dropping it from the graph

@@ -160,8 +160,24 @@ class SuperPoint:
         leaves = []
         for kp, leaf in tmpl[0]:
             name = "/".join(p.key for p in kp)
-            arr = jnp.asarray(data[name])
+            arr = jnp.asarray(data[name], jnp.float32)
             assert arr.shape == leaf.shape, (name, arr.shape, leaf.shape)
             leaves.append(arr)
         sp.params = jax.tree_util.tree_unflatten(tmpl[1], leaves)
         return sp
+
+    @classmethod
+    def distilled(cls, desc_dim: int = 256) -> "SuperPoint":
+        """The in-repo self-distilled weights (trained by
+        models/train_superpoint.py on synthetic geometry + homographic
+        warps — no downloads; the egress-blocked substitute for the
+        reference's pretrained superpoint_v1.pt, SuperPoint.cc:342)."""
+        import os
+
+        path = os.path.join(os.path.dirname(__file__), "weights",
+                            "superpoint_distilled.npz")
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"{path} missing — run python -m "
+                "rtabmap_tpu.models.train_superpoint to (re)train it")
+        return cls.load_params(path, desc_dim=desc_dim)

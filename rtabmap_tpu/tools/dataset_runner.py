@@ -36,8 +36,24 @@ def run_dataset(frames: Iterable, camera, params=None, stereo_model=None,
     slam = Rtabmap(camera, p, db=db, node_capacity=node_capacity,
                    words_per_frame=max_kp)
     profiling = bool(str(p["Tpu/ProfileDir"]))
+    # Mem/UseOdomFeatures (reference: Memory.cpp:5025 createSignature —
+    # true reuses the odometry frame's features for the SLAM node; false
+    # re-extracts with the Kp/ budget). Default true = one extraction
+    # feeds both, the fused-dispatch fast path.
+    use_odom_features = bool(p["Mem/UseOdomFeatures"])
+    kp_budget = int(p["Kp/MaxFeatures"])
+    if kp_budget <= 0 or kp_budget > max_kp:
+        kp_budget = max_kp
 
     extract_rgbd = jax.jit(lambda g, d: extract_features(g, d, camera, max_kp))
+
+    @jax.jit
+    def limit_to_kp_budget(feat):
+        # keep the top Kp/MaxFeatures responses at the SAME static shape
+        # (slabs are sized words_per_frame=max_kp)
+        keep = jnp.arange(feat.uv.shape[0]) < kp_budget
+        return feat._replace(valid=feat.valid & keep,
+                             valid3d=feat.valid3d & keep)
 
     def extract_stereo_fn(gl, gr):
         kps, desc = F.detect_and_describe(gl, max_kp)
@@ -134,8 +150,13 @@ def run_dataset(frames: Iterable, camera, params=None, stereo_model=None,
                         pose, cov = odom.pose, np.eye(6) * 9999.0
                 if fr.odom_pose is not None:
                     prev_wheel = fr.odom_pose
+                slam_feat = feat
+                if not use_odom_features:
+                    # independent Kp/-budget feature set for the map node
+                    slam_feat = limit_to_kp_budget(feat)
                 st = slam.process(
-                    feat, np.asarray(pose), np.asarray(cov), stamp=fr.stamp,
+                    slam_feat, np.asarray(pose), np.asarray(cov),
+                    stamp=fr.stamp,
                     gt_pose=fr.gt_pose,
                     raw=(fr.gray, fr.depth) if db is not None else None,
                     extra_stats={"Odometry/TotalTime/ms": odom_ms,

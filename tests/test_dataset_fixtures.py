@@ -174,3 +174,28 @@ def test_euroc_layout_end_to_end(tmp_path):
     assert out["frames"] == N_FRAMES and out["lost"] == 0
     assert "ate_slam" in out
     assert out["ate_slam"] < 0.15, out["ate_slam"]
+
+
+def test_use_odom_features_param_changes_map_words(tmp_path):
+    """Mem/UseOdomFeatures=false gives the map node its own Kp/MaxFeatures
+    budget instead of reusing the odometry frame's full set (reference:
+    Memory.cpp:5025 createSignature)."""
+    from rtabmap_tpu.datasets.readers import TumRgbdDataset
+    from rtabmap_tpu.tools.dataset_runner import run_dataset
+    from rtabmap_tpu.utils.params import Parameters
+
+    root, _ = _make_tum_dir(tmp_path, n=3)
+    ds = TumRgbdDataset(root)
+    p = Parameters({"Rtabmap/DetectionRate": 0,
+                    "Mem/UseOdomFeatures": False,
+                    "Kp/MaxFeatures": 100})
+    out = run_dataset(iter(ds), ds.camera, p, max_kp=256, verbose=False)
+    st = out["slam"].stats_history[-1]
+    assert st.get("Keypoint/Current frame/words") <= 100
+    # default: odometry features reused -> full budget
+    ds2 = TumRgbdDataset(root)
+    out2 = run_dataset(iter(ds2), ds2.camera,
+                       Parameters({"Rtabmap/DetectionRate": 0}),
+                       max_kp=256, verbose=False)
+    st2 = out2["slam"].stats_history[-1]
+    assert st2.get("Keypoint/Current frame/words") > 100
