@@ -1436,8 +1436,12 @@ class Rtabmap:
         Returns (out_graph, chi2, iters_done, max_err, lin_ratio,
         ang_ratio)."""
         N, E = poses.shape[0], len(ef)
-        Np = 1 << max(N - 1, 1).bit_length()
-        Ep = 1 << max(E - 1, 1).bit_length()
+        # coarse pow2 buckets with floors: every distinct shape is an
+        # XLA:CPU compile, and this host's LLVM backend can segfault on
+        # long many-compile runs — floors collapse the small-subgraph
+        # solves into two shared shapes
+        Np = max(1 << max(N - 1, 1).bit_length(), 32)
+        Ep = max(1 << max(E - 1, 1).bit_length(), 64)
         if self.mesh is not None:
             # edge slab sharded over the mesh: pad to a shard multiple
             n_sh = self.mesh.shape[self.shard_axis]
@@ -1452,7 +1456,7 @@ class Rtabmap:
         pr_idx, pr_meas, pr_info = priors
         P = len(pr_idx)
         if P:  # pad priors to a pow2 bucket as well
-            Pp = 1 << max(P - 1, 1).bit_length()
+            Pp = max(1 << max(P - 1, 1).bit_length(), 16)
             pr_idx = np.concatenate([pr_idx, np.zeros(Pp - P, np.int32)])
             pr_meas = np.concatenate(
                 [pr_meas, np.tile(np.eye(3, 4, dtype=np.float32), (Pp - P, 1, 1))])

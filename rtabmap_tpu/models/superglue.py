@@ -150,6 +150,22 @@ class SuperGlueMatcher:
         np.savez(path, **flat)
 
     @classmethod
+    def distilled(cls) -> "SuperGlueMatcher":
+        """The in-repo trained matcher weights (models/train_superglue.py
+        — synthetic codebook-ambiguous assignment problems; the
+        egress-blocked substitute for the downloaded SuperGlue
+        checkpoint)."""
+        import os
+
+        path = os.path.join(os.path.dirname(__file__), "weights",
+                            "superglue_distilled.npz")
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"{path} missing — run python -m "
+                "rtabmap_tpu.models.train_superglue to (re)train it")
+        return cls.load_params(path)
+
+    @classmethod
     def load_params(cls, path: str, dim: int = 128,
                     layers: int = 4) -> "SuperGlueMatcher":
         from flax.traverse_util import unflatten_dict
