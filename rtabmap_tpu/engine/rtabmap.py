@@ -244,12 +244,26 @@ class Rtabmap:
         return sub
 
     def trigger_new_map(self):
-        """(reference: Rtabmap::triggerNewMap Rtabmap.cpp:914.)"""
+        """(reference: Rtabmap::triggerNewMap Rtabmap.cpp:914): in mapping
+        mode the optimized-pose cache is CLEARED — the new session is the
+        only visible component until an appearance closure bridges it to
+        an old session (whose poses then re-enter via the connected-
+        component solve); the new session re-bases at the last known map
+        pose on its first frame (Rtabmap.cpp:1347-1365) so an odometry
+        restart keeps map-frame continuity."""
+        last = self.get_last_location_id()
+        self._last_localization_pose = (
+            np.asarray(self.optimized_poses[last])
+            if last and last in self.optimized_poses else None)
         self.memory.new_map()
         self.bayes.reset()
         self.last_hypothesis = (0, 0.0)
         self._odom_cache_poses.clear()
         self._odom_cache_links.clear()
+        if self.memory.incremental:
+            self.optimized_poses.clear()
+            self.map_correction = np.asarray(T.identity())
+            self._new_session_rebase = True
 
     # ---------------------------------------------------------------- process
     def process(self, frame: FrameFeatures, odom_pose, covariance=None,
@@ -287,6 +301,14 @@ class Rtabmap:
         # --- odometry failure -> new session (covariance >= 9999 convention)
         if cov[0, 0] >= 9999.0 and self.memory.n_resident > 0:
             self.trigger_new_map()
+        if getattr(self, "_new_session_rebase", False):
+            # first frame of the new session: odometry may have restarted
+            # anywhere — anchor it at the last known map pose
+            if self._last_localization_pose is not None:
+                self.map_correction = np.asarray(T.np_compose(
+                    self._last_localization_pose, T.np_inverse(odom_pose)),
+                    np.float32)
+            self._new_session_rebase = False
 
         # --- user-seeded relocalization prior (reference:
         # Rtabmap::setInitialPose — in localization mode the next frame is
@@ -350,8 +372,14 @@ class Rtabmap:
                         image=None if gray is None else np.asarray(gray),
                         depth=None if depth is None else np.asarray(depth))
             neighbor_link = None
-            if prev_id is not None:
-                prev = self.memory.get(prev_id)
+            prev = self.memory.get(prev_id) if prev_id is not None else None
+            if prev is not None and prev.map_id != sig.map_id:
+                # never chain odometry across a session break — the
+                # relative transform spans an odometry restart and is
+                # meaningless (reference: neighbor links only within the
+                # same map session; sessions join via loop closures)
+                prev = None
+            if prev is not None:
                 t_ab = np.asarray(T.np_relative(prev.pose, odom_pose),
                                   np.float32)
                 link_cov = cov
@@ -386,17 +414,19 @@ class Rtabmap:
                         st.add("NeighborLinkRefining/ICP complexity/", 0.0)
                     if accepted:
                         # deviation of the refined link from raw odometry
-                        # (reference Rtabmap.cpp:1697-1702)
-                        dev = T.relative(jnp.asarray(t_ab),
-                                         jnp.asarray(res.transform))
+                        # (reference Rtabmap.cpp:1697-1702) — ONE fetch,
+                        # then host numpy
+                        t_ref, link_cov = jax.device_get(
+                            (res.transform, icp_cov))
+                        dev = T.np_relative(np.asarray(t_ab, np.float32),
+                                            np.asarray(t_ref, np.float32))
                         st.add("NeighborLinkRefining/ICP translation/m",
-                               float(T.translation_norm(dev)))
+                               float(T.np_translation_norm(dev)))
                         st.add("NeighborLinkRefining/ICP rotation/rad",
-                               float(T.rotation_angle(dev)))
+                               float(T.np_rotation_angle(dev)))
                         st.add("NeighborLinkRefining/Variance/",
-                               float(jnp.max(jnp.diagonal(icp_cov))))
-                        t_ab = np.asarray(res.transform)
-                        link_cov = np.asarray(icp_cov)
+                               float(np.max(np.diagonal(link_cov))))
+                        t_ab = np.asarray(t_ref)
                         st.add("Odometry/Refined by scan/", 1)
                 neighbor_link = Link(prev_id, sig.id, LINK_NEIGHBOR, t_ab,
                                      info_from_cov(link_cov))
@@ -883,8 +913,8 @@ class Rtabmap:
             response=jnp.zeros_like(frame.response))
         sig = mem.create_signature(empty, odom_pose, stamp, weight=-1)
         link = None
-        if prev_id is not None:
-            prev = mem.get(prev_id)
+        prev = mem.get(prev_id) if prev_id is not None else None
+        if prev is not None and prev.map_id == sig.map_id:
             t_ab = np.asarray(T.np_relative(prev.pose, odom_pose),
                               np.float32)
             link = Link(prev_id, sig.id, LINK_NEIGHBOR, t_ab,
@@ -1187,9 +1217,10 @@ class Rtabmap:
         ids = anchors + cache_ids
         idx = {i: k for k, i in enumerate(ids)}
         init = [np.asarray(self.optimized_poses[i], np.float32) for i in anchors]
-        mc = jnp.asarray(self.map_correction)
-        init += [np.asarray(T.compose(mc, jnp.asarray(self._odom_cache_poses[i])),
-                            np.float32) for i in cache_ids]
+        mc = np.asarray(self.map_correction, np.float32)
+        init += [T.np_compose(mc, np.asarray(self._odom_cache_poses[i],
+                                             np.float32))
+                 for i in cache_ids]
         poses = np.stack(init)
         ef, et, meas, info = [], [], [], []
         for lk in cons:
@@ -1232,8 +1263,7 @@ class Rtabmap:
             priors_info=jnp.asarray(pr_info_p),
             prior_valid=jnp.asarray(np.arange(Pp) < P))
         out, _chi2 = PG.optimize(g, iters=12)
-        lin_ratio, ang_ratio = PG.edge_errors(out)
-        max_err = float(jnp.maximum(jnp.max(lin_ratio), jnp.max(ang_ratio)))
+        max_err = float(PG.solve_diagnostics(out)[0])
         st.add("Loop/Optimization max error ratio/", max_err)
         new_poses = np.asarray(out.poses)
         if not np.isfinite(new_poses[:N]).all() or not np.isfinite(max_err):
@@ -1248,9 +1278,9 @@ class Rtabmap:
         for lk in loc_links:
             t = lk.transform
             if self.localization_smoothing:
-                t = np.asarray(T.relative(
-                    jnp.asarray(new_poses[idx[lk.from_id]]), jnp.asarray(cur)),
-                    np.float32)
+                t = T.np_relative(np.asarray(new_poses[idx[lk.from_id]],
+                                             np.float32),
+                                  np.asarray(cur, np.float32))
             self._odom_cache_links[(lk.from_id, lk.to_id)] = Link(
                 lk.from_id, lk.to_id, lk.type, t, lk.information)
         return cur
@@ -1343,12 +1373,48 @@ class Rtabmap:
     # ------------------------------------------------------------ optimization
     def _build_graph(self):
         poses, links = self.memory.get_constraints(session_only=False)
+        # optimize only the CONNECTED COMPONENT containing the latest node
+        # (reference: optimizeCurrentMap -> graph::getConnectedGraph). A
+        # disconnected component has no gauge: GN mangles it arbitrarily
+        # (observed: a clean first-session lap distorted by metres once a
+        # later session existed without inter-session links). Nodes outside
+        # the component keep their previous optimized poses.
+        if poses:
+            adj = {}
+            for lk in links:
+                if lk.from_id in poses and lk.to_id in poses:
+                    adj.setdefault(lk.from_id, []).append(lk.to_id)
+                    adj.setdefault(lk.to_id, []).append(lk.from_id)
+            root = max(poses)
+            comp = {root}
+            stack = [root]
+            while stack:
+                for nb in adj.get(stack.pop(), []):
+                    if nb not in comp:
+                        comp.add(nb)
+                        stack.append(nb)
+            poses = {i: p for i, p in poses.items() if i in comp}
+            links = [lk for lk in links
+                     if lk.from_id in comp
+                     and (lk.to_id in comp or lk.to_id < 0)]
         ids = sorted(poses)
         id_to_idx = {i: k for k, i in enumerate(ids)}
         N = len(ids)
-        pose_arr = np.stack([
-            self.optimized_poses.get(i, poses[i]) for i in ids
-        ]) if N else np.zeros((0, 3, 4), np.float32)
+
+        def init_pose(i):
+            p = self.optimized_poses.get(i)
+            if p is None:
+                # nodes without an optimized pose yet (this tick's node,
+                # just-reconnected sessions) enter in the MAP frame —
+                # raw odometry here is metres off whenever map_correction
+                # is non-identity (post-session-break), which sent the
+                # joint solve to NaN
+                p = T.np_compose(self.map_correction,
+                                 np.asarray(poses[i], np.float32))
+            return np.asarray(p, np.float32)
+
+        pose_arr = np.stack([init_pose(i) for i in ids]) \
+            if N else np.zeros((0, 3, 4), np.float32)
         closure_types = {LINK_GLOBAL_CLOSURE, LINK_LOCAL_SPACE_CLOSURE,
                          LINK_LOCAL_TIME_CLOSURE, LINK_USER_CLOSURE}
         ef, et, meas, info, switch = [], [], [], [], []
@@ -1517,13 +1583,15 @@ class Rtabmap:
                         abs(prev - chi2) <= self.optimizer_epsilon * max(prev, 1e-12):
                     break
                 prev = chi2
-        lin_ratio, ang_ratio = PG.edge_errors(out)
-        max_err = float(jnp.maximum(jnp.max(lin_ratio), jnp.max(ang_ratio))) if E else 0.0
+        # ONE jitted dispatch + ONE fetch for every diagnostic scalar
+        diag_dev = PG.solve_diagnostics(out)
+        diag = tuple(float(x) for x in jax.device_get(diag_dev))
+        max_err = diag[0] if E else 0.0
         if st is not None:
             st.add("Loop/Optimization max error ratio/", max_err)
             st.add("Loop/Optimization error/", float(chi2))
             st.add("Loop/Optimization iterations/", iters_done)
-        return out, chi2, iters_done, max_err, lin_ratio, ang_ratio
+        return out, chi2, iters_done, max_err, diag
 
     def _shortest_path_ids(self, a: int, b: int,
                            exclude_pairs: set) -> Optional[List[int]]:
@@ -1647,7 +1715,7 @@ class Rtabmap:
                    else np.zeros((0, 3, 4), np.float32)),
                   (np.stack(pr_info) if pr_info
                    else np.zeros((0, 6, 6), np.float32)))
-        out, chi2, iters_done, max_err, _lr, _ar = self._solve_padded(
+        out, chi2, iters_done, max_err, _diag = self._solve_padded(
             poses, np.asarray(ef, np.int32), np.asarray(et, np.int32),
             np.stack(meas), np.stack(info), np.asarray(switch, bool),
             priors, root_idx=0, st=st)
@@ -1702,25 +1770,19 @@ class Rtabmap:
         # gauge root (reference: RGBD/OptimizeFromGraphEnd — default false
         # anchors the FIRST node of the map; true anchors the latest)
         root_idx = n_reg - 1 if self.optimize_from_graph_end else 0
-        out, chi2, iters_done, max_err, lin_ratio, ang_ratio = \
+        out, chi2, iters_done, max_err, diag = \
             self._solve_padded(poses, ef, et, meas, info, switch, priors,
                                root_idx=root_idx, st=st)
         if len(ef):
-            st.add("Loop/Optimization max ang error ratio/",
-                   float(jnp.max(ang_ratio)))
+            _max_err, max_ang_ratio, dlin_w, dang_w, k_lin, k_ang = diag
             # absolute max errors + offending edge endpoints (reference:
             # Rtabmap.cpp:4430-4460 maxLinearError/maxAngularError block)
-            rel = jax.vmap(T.relative)(out.poses[out.edges_from],
-                                       out.poses[out.edges_to])
-            dlin = jnp.max(jnp.abs(T.translation(rel)
-                                   - T.translation(out.edges_meas)), axis=-1)
-            dang = jax.vmap(lambda a, b: T.rotation_angle(
-                T.compose(T.inverse(a), b)))(out.edges_meas, rel)
-            k_lin = int(jnp.argmax(jnp.where(out.edge_valid, dlin, -1.0)))
-            k_ang = int(jnp.argmax(jnp.where(out.edge_valid, dang, -1.0)))
-            st.add("Loop/Optimization max error/m", float(dlin[k_lin]))
+            st.add("Loop/Optimization max ang error ratio/", max_ang_ratio)
+            st.add("Loop/Optimization max error/m", dlin_w)
             st.add("Loop/Optimization max ang error/deg",
-                   float(np.degrees(float(dang[k_ang]))))
+                   float(np.degrees(dang_w)))
+            k_lin = min(int(k_lin), len(ef) - 1)
+            k_ang = min(int(k_ang), len(ef) - 1)
             st.add("Loop/Optimization max error from id/",
                    float(ids[int(ef[k_lin])]))
             st.add("Loop/Optimization max error to id/",
@@ -1901,20 +1963,22 @@ class Rtabmap:
                          LINK_LOCAL_TIME_CLOSURE, LINK_USER_CLOSURE)
         removed: List[Tuple[int, int]] = []
         for _ in range(max_removals):
-            ids, poses, ef, et, meas, info, switch, _priors = self._build_graph()
+            ids, poses, ef, et, meas, info, switch, priors = self._build_graph()
             if len(ids) < 2 or len(ef) < 1:
                 break
-            g = PG.make_graph(jnp.asarray(np.asarray(poses)),
-                              jnp.asarray(np.asarray(ef)),
-                              jnp.asarray(np.asarray(et)),
-                              jnp.asarray(np.asarray(meas)),
-                              jnp.asarray(np.asarray(info)),
-                              root=sum(1 for i in ids if i >= 0) - 1)
-            out, _ = PG.optimize(g, iters=12)
-            lin_ratio, ang_ratio = PG.edge_errors(out)
-            err = np.maximum(np.asarray(lin_ratio), np.asarray(ang_ratio))
-            if self.max_error <= 0 or float(err.max()) <= self.max_error:
+            n_reg = sum(1 for i in ids if i >= 0)
+            # bucketed solve (shared compiles — an unpadded full-size graph
+            # here was a fresh XLA:CPU executable per repair call)
+            out, _chi2, _iters, max_err, _diag = self._solve_padded(
+                poses, ef, et, meas, info, switch, priors,
+                root_idx=n_reg - 1)
+            if self.max_error <= 0 or not np.isfinite(max_err) \
+                    or max_err <= self.max_error:
                 break
+            if getattr(self, "_edge_err_fn", None) is None:
+                self._edge_err_fn = jax.jit(PG.edge_errors)
+            lin, ang = jax.device_get(self._edge_err_fn(out))
+            err = np.maximum(lin, ang)[: len(ef)]
             # find worst CLOSURE edge (never remove odometry neighbors)
             id_arr = list(ids)
             order = np.argsort(-err)

@@ -165,6 +165,27 @@ def edge_errors(g: PoseGraph):
     return lin_ratio, ang_ratio
 
 
+@jax.jit
+def solve_diagnostics(g: PoseGraph):
+    """Post-solve edge diagnostics in ONE jitted dispatch: the per-edge
+    error ratios (edge_errors), the worst absolute linear/angular edge
+    deviations and their edge indices. Eagerly these were ~20 small op
+    compiles PER PADDING BUCKET (each a leaked XLA:CPU executable — the
+    long-run map-count blowup), and ~20 device round trips per closure
+    tick through the TPU tunnel."""
+    lin_ratio, ang_ratio = edge_errors(g)
+    rel = jax.vmap(T.relative)(g.poses[g.edges_from], g.poses[g.edges_to])
+    dlin = jnp.max(jnp.abs(T.translation(rel) - T.translation(g.edges_meas)),
+                   axis=-1)
+    dang = jax.vmap(lambda a, b: T.rotation_angle(
+        T.compose(T.inverse(a), b)))(g.edges_meas, rel)
+    k_lin = jnp.argmax(jnp.where(g.edge_valid, dlin, -1.0))
+    k_ang = jnp.argmax(jnp.where(g.edge_valid, dang, -1.0))
+    max_err = jnp.maximum(jnp.max(lin_ratio), jnp.max(ang_ratio))
+    return (max_err, jnp.max(ang_ratio), dlin[k_lin], dang[k_ang],
+            k_lin, k_ang)
+
+
 # ------------------------------------------------------------------- solvers
 
 
