@@ -39,6 +39,7 @@ class F2MState(NamedTuple):
     vel: jnp.ndarray        # (6,) twist per frame (constant-velocity model)
     kf_count: jnp.ndarray   # () float32 keyframe counter
     initialized: jnp.ndarray  # () bool
+    age: jnp.ndarray        # () float32 ticks since bootstrap/reset
     # --- local-BA bookkeeping (OdomF2M/BundleAdjustment):
     map_ids: jnp.ndarray    # (M,) int32 persistent point ids (-1 empty) —
                             # survive the cull permutation, so keyframe
@@ -72,6 +73,7 @@ def init_state(map_capacity: int = 2000, desc_dim: int = DESC_DIM,
         vel=jnp.zeros((6,), jnp.float32),
         kf_count=jnp.zeros((), jnp.float32),
         initialized=jnp.zeros((), bool),
+        age=jnp.zeros((), jnp.float32),
         map_ids=jnp.full((map_capacity,), -1, jnp.int32),
         next_id=jnp.zeros((), jnp.int32),
         obs_ids=jnp.full((ba_frames, obs_capacity), -1, jnp.int32),
@@ -202,16 +204,28 @@ def odom_step(state: F2MState, frame: FrameFeatures, cam: C.CameraModel, key,
         st_kf = _insert_keyframe(state, frame, new_pose, m.idx, matched_ok)
         st = jax.tree_util.tree_map(lambda a, b: jnp.where(kf_needed, a, b), st_kf, state)
         st = st._replace(pose=new_pose, vel=new_vel)
+        # Covariance maturity: the first estimates after bootstrap track a
+        # single depth-projected keyframe — decimetre-grade no matter how
+        # small the reprojection residuals are (no multi-view structure
+        # yet). Claiming the usual mm-level certainty on them poisons
+        # downstream graph solves: the RGBD/OptimizeMaxError gate measures
+        # edge residuals in units of claimed stddev, so one overconfident
+        # bad edge (observed: 0.09 m error at claimed 1 mm stddev on the
+        # first post-reset edge) rejects every future loop closure and
+        # keeps map sessions permanently unmergeable. Decay 1e5 -> 1 over
+        # the first 5 ticks after a reset.
+        cov_boost = 10.0 ** (5.0 * jnp.clip(1.0 - state.age / 5.0, 0.0, 1.0))
         out = OdomResult(
             pose=new_pose, success=ok,
             num_matches=n_matches.astype(jnp.int32),
             num_inliers=res.num_inliers,
-            covariance=res.covariance,
+            covariance=res.covariance * cov_boost,
             keyframe_added=kf_needed,
         )
         return st, out
 
-    return jax.lax.cond(state.initialized, tick, bootstrap, state)
+    st, out = jax.lax.cond(state.initialized, tick, bootstrap, state)
+    return st._replace(age=state.age + 1.0), out
 
 
 def local_ba_step(state: F2MState, cam: C.CameraModel, iters: int = 4,

@@ -244,17 +244,26 @@ def _assemble_dense(g: PoseGraph, r, Ji, Jj, w, damping):
 
 
 @partial(jax.jit, static_argnames=("iters", "robust"))
-def optimize_dense(g: PoseGraph, iters: int = 20, damping: float = 1e-6,
+def optimize_dense(g: PoseGraph, iters: int = 20, damping: float = 1e-4,
                    robust: bool = False, huber_delta: float = 1.0,
                    switch_mask: Optional[jnp.ndarray] = None,
                    dcs_phi: float = 1.0) -> Tuple[PoseGraph, jnp.ndarray]:
-    """GN/LM with dense Cholesky — for graphs up to ~500 nodes.
+    """LM with dense Cholesky — for graphs up to ~500 nodes.
+
+    True Levenberg-Marquardt: scale-invariant damping (λ·diag H) with
+    step acceptance — a step that raises chi² (or yields non-finite
+    values, e.g. a float32 Cholesky breakdown on a system whose
+    information spans 1e-6..1e8) is REJECTED and λ raised, so the solve
+    can never diverge from a far init (plain GN with fixed damping
+    produced NaN poses on a 500-node two-session merge; the engine then
+    discarded the closure).  ``damping`` is the initial λ.
 
     Returns (optimized graph, final chi2).
     """
     N = g.poses.shape[0]
 
-    def step(poses, k):
+    def step(carry, k):
+        poses, lam, cur = carry
         gg = g._replace(poses=poses)
         r, Ji, Jj = jax.vmap(_edge_residual_jac)(
             poses[g.edges_from], poses[g.edges_to], g.edges_meas
@@ -265,18 +274,30 @@ def optimize_dense(g: PoseGraph, iters: int = 20, damping: float = 1e-6,
             # closures aren't switched off before drift is corrected
             phi_k = dcs_phi * 10.0 ** (4.0 * (1.0 - k / max(iters - 1, 1)))
             w = w * _dcs_weights(r, g.edges_info, switch_mask, phi_k)
-        H, b = _assemble_dense(gg, r, Ji, Jj, w, damping)
-        dx = -jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(H), b)
+        H, b = _assemble_dense(gg, r, Ji, Jj, w, 0.0)
+        dH = jnp.maximum(jnp.diagonal(H), 1e-8)
+        Hd = H + jnp.diag(lam * dH)
+        dx = -jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(Hd), b)
         dx = dx.reshape(N, 6)
         dx = jnp.where(g.node_valid[:, None], dx, 0.0)
         # trust region: cap the step to keep log/exp well-behaved
         nrm = jnp.linalg.norm(dx, axis=-1, keepdims=True)
         dx = dx * jnp.minimum(1.0, 1.0 / jnp.maximum(nrm, 1e-9))
-        return T.retract(poses, dx), None
+        cand = T.retract(poses, dx)
+        new = graph_chi2(g._replace(poses=cand))
+        ok = jnp.isfinite(new) & (new <= cur)
+        poses = jnp.where(ok, cand, poses)
+        lam = jnp.where(ok, jnp.maximum(lam / 3.0, 1e-9),
+                        jnp.minimum(lam * 10.0, 1e8))
+        cur = jnp.where(ok, new, cur)
+        return (poses, lam, cur), None
 
-    poses, _ = jax.lax.scan(step, g.poses, jnp.arange(iters, dtype=jnp.float32))
+    chi0 = graph_chi2(g)
+    (poses, _, chi2), _ = jax.lax.scan(
+        step, (g.poses, jnp.float32(damping), chi0),
+        jnp.arange(iters, dtype=jnp.float32))
     out = g._replace(poses=poses)
-    return out, graph_chi2(out)
+    return out, chi2
 
 
 def _hx_product(g: PoseGraph, Ji, Jj, info_w, x, fix_diag):
@@ -288,7 +309,8 @@ def _hx_product(g: PoseGraph, Ji, Jj, info_w, x, fix_diag):
     out = jnp.zeros_like(x)
     out = out.at[g.edges_from].add(jnp.einsum("eji,ej->ei", Ji, oy))
     out = out.at[g.edges_to].add(jnp.einsum("eji,ej->ei", Jj, oy))
-    return out + fix_diag[:, None] * x
+    damp = fix_diag[:, None] if fix_diag.ndim == 1 else fix_diag
+    return out + damp * x
 
 
 @partial(jax.jit, static_argnames=("iters", "cg_iters", "robust"))
@@ -303,7 +325,7 @@ def optimize_pcg(g: PoseGraph, iters: int = 15, cg_iters: int = 60,
     becomes a psum)."""
     N = g.poses.shape[0]
 
-    def gn_step(poses, k):
+    def gn_step(poses, k, lam):
         r, Ji, Jj = jax.vmap(_edge_residual_jac)(
             poses[g.edges_from], poses[g.edges_to], g.edges_meas
         )
@@ -333,11 +355,14 @@ def optimize_pcg(g: PoseGraph, iters: int = 15, cg_iters: int = 60,
         if has_priors:
             diag = diag.at[g.priors_idx].add(
                 jnp.diagonal(Hp, axis1=-2, axis2=-1))
-        diag = diag + fix_diag[:, None] + 1e-8
+        # LM: scale-invariant damping on the GN diagonal (λ·diag H) on top
+        # of the gauge/invalid clamps
+        damp6 = fix_diag[:, None] + lam * jnp.maximum(diag, 1e-8)
+        diag = diag + damp6 + 1e-8
         Minv = 1.0 / diag
 
         def hx(x):
-            y = _hx_product(g, Ji, Jj, info_w, x, fix_diag)
+            y = _hx_product(g, Ji, Jj, info_w, x, damp6)
             if has_priors:
                 y = y.at[g.priors_idx].add(
                     jnp.einsum("pij,pj->pi", Hp, x[g.priors_idx]))
@@ -363,11 +388,27 @@ def optimize_pcg(g: PoseGraph, iters: int = 15, cg_iters: int = 60,
         dx = jnp.where(g.node_valid[:, None], dx, 0.0)
         nrm = jnp.linalg.norm(dx, axis=-1, keepdims=True)
         dx = dx * jnp.minimum(1.0, 1.0 / jnp.maximum(nrm, 1e-9))
-        return T.retract(poses, dx), None
+        return T.retract(poses, dx)
 
-    poses, _ = jax.lax.scan(gn_step, g.poses, jnp.arange(iters, dtype=jnp.float32))
+    def step(carry, k):
+        # LM step acceptance: a CG step that raises chi² or goes
+        # non-finite is rejected and λ raised — the solve can never
+        # diverge from a far init
+        poses, lam, cur = carry
+        cand = gn_step(poses, k, lam)
+        new = graph_chi2(g._replace(poses=cand))
+        ok = jnp.isfinite(new) & (new <= cur)
+        poses = jnp.where(ok, cand, poses)
+        lam = jnp.where(ok, jnp.maximum(lam / 3.0, 1e-9),
+                        jnp.minimum(lam * 10.0, 1e8))
+        return (poses, lam, jnp.where(ok, new, cur)), None
+
+    chi0 = graph_chi2(g)
+    (poses, _, chi2), _ = jax.lax.scan(
+        step, (g.poses, jnp.float32(1e-4), chi0),
+        jnp.arange(iters, dtype=jnp.float32))
     out = g._replace(poses=poses)
-    return out, graph_chi2(out)
+    return out, chi2
 
 
 def optimize(g: PoseGraph, iters: int = 20, robust: bool = False,
@@ -376,10 +417,16 @@ def optimize(g: PoseGraph, iters: int = 20, robust: bool = False,
     """Strategy dispatch mirroring Optimizer::create: dense Cholesky for
     small graphs, PCG beyond. ``switch_mask`` marks loop-closure edges as
     switchable for DCS robust optimization (Optimizer/Robust ≈ Vertigo)."""
-    if g.poses.shape[0] <= dense_threshold:
+    N = g.poses.shape[0]
+    if N <= dense_threshold:
         return optimize_dense(g, iters=iters, robust=robust,
                               switch_mask=switch_mask, dcs_phi=dcs_phi)
-    return optimize_pcg(g, iters=iters, robust=robust,
+    # Jacobi-PCG propagates information ~1 graph hop per CG iteration:
+    # on odometry-chain-dominated graphs the inner solve must be allowed
+    # ~N iterations or corrections never reach the far end (observed: a
+    # 500-node two-session merge stuck at chi²~1e6 with cg_iters=60).
+    cg = int(min(max(60, N), 1024))
+    return optimize_pcg(g, iters=iters, cg_iters=cg, robust=robust,
                         switch_mask=switch_mask, dcs_phi=dcs_phi)
 
 
