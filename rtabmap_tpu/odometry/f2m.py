@@ -213,8 +213,11 @@ def odom_step(state: F2MState, frame: FrameFeatures, cam: C.CameraModel, key,
         # bad edge (observed: 0.09 m error at claimed 1 mm stddev on the
         # first post-reset edge) rejects every future loop closure and
         # keeps map sessions permanently unmergeable. Decay 1e5 -> 1 over
-        # the first 5 ticks after a reset.
-        cov_boost = 10.0 ** (5.0 * jnp.clip(1.0 - state.age / 5.0, 0.0, 1.0))
+        # the first 5 TRACKED ticks after a reset() (age counts the
+        # bootstrap call too, hence age-1: the first tracked frame must
+        # see the full 1e5).
+        cov_boost = 10.0 ** (
+            5.0 * jnp.clip(1.0 - (state.age - 1.0) / 5.0, 0.0, 1.0))
         out = OdomResult(
             pose=new_pose, success=ok,
             num_matches=n_matches.astype(jnp.int32),

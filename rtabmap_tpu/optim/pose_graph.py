@@ -189,6 +189,84 @@ def solve_diagnostics(g: PoseGraph):
 # ------------------------------------------------------------------- solvers
 
 
+# DCS switch target: an edge is "satisfied" when its Mahalanobis chi2 is at
+# noise level. For a correctly-weighted 6-DOF link E[chi2] = 6; the 99%
+# chi-square(6) quantile 16.81 keeps calibrated closures fully ON (s=1)
+# while an actual outlier (chi2 orders of magnitude higher) is still
+# crushed quadratically. phi=1 (the DCS paper scalar default) switched off
+# GOOD closures whose information came from mm-level inlier residuals
+# (chi2 ~ 10 at convergence), and the OptimizeMaxError gate then rejected
+# them — Optimizer/Robust silently disabled loop closing.
+DCS_PHI_DEFAULT = 16.81
+
+
+def _robust_cost(g: PoseGraph, poses, robust: bool, huber_delta: float,
+                 switch_mask, phi):
+    """The actual robust objective the LM step minimizes — used for step
+    acceptance. With plain least squares this is graph_chi2; with Huber it
+    is the Huber rho; with DCS switchable edges the saturating kernel
+    min(chi2, phi) (the closed-form s**2*chi2 + phi*(1-s)**2 of Agarwal et
+    al. evaluates to exactly min(chi2, phi)). Accepting steps on the RAW
+    chi2 instead broke Optimizer/Robust: a step that moves the solution
+    away from an outlier closure raises that edge's raw chi2 and was
+    rejected, so wrong loop closures could never be switched off."""
+    gg = g._replace(poses=poses)
+    r = graph_residuals(gg)
+    chi2_e = jnp.einsum("ei,eij,ej->e", r, g.edges_info, r)
+    if robust:
+        m = jnp.sqrt(jnp.maximum(chi2_e, 1e-12))
+        rho = jnp.where(m <= huber_delta, chi2_e,
+                        huber_delta * (2.0 * m - huber_delta))
+    else:
+        rho = chi2_e
+    if switch_mask is not None:
+        rho = jnp.where(switch_mask, jnp.minimum(rho, phi), rho)
+    cost = jnp.sum(rho * g.edge_valid)
+    if g.priors_idx.shape[0] > 0:
+        rp, _ = jax.vmap(_prior_residual_jac)(poses[g.priors_idx],
+                                              g.priors_meas)
+        info = g.priors_info * g.prior_valid[:, None, None]
+        cost = cost + jnp.sum(jnp.einsum("pi,pij,pj->p", rp, info, rp))
+    return cost
+
+
+def _dcs_phi0(g: PoseGraph, switch_mask, dcs_phi: float):
+    """Data-driven anneal start: the median chi2 of the switchable edges at
+    the initial poses (x2 headroom so the median edge starts fully ON,
+    s=1).  A fixed 1e4*phi start was actively harmful: when an outlier
+    closure carries high information, phi >> its chi2 leaves it with
+    enough residual weight to out-pull the odometry chain's series
+    stiffness, the early solve walks into the outlier's basin, its chi2
+    drops below every later phi level, and DCS never switches it off.
+    Anchoring phi0 to the switchable-chi2 median (standard <=50%-outlier
+    assumption) keeps drift-consistent closures on while crushing
+    outliers' weight quadratically from the very first iteration."""
+    r0 = graph_residuals(g)
+    chi0_e = jnp.einsum("ei,eij,ej->e", r0, g.edges_info, r0)
+    # only UNSATISFIED switchable edges (chi2 > target phi) inform the
+    # anneal start: already-satisfied closures have s=1 at ANY phi >=
+    # their chi2, so they cannot be hurt by a large phi0 — but in a
+    # warm-started graph they'd drag the median to ~0 and every NEW
+    # closure (large chi2 against the drifted estimate) would be treated
+    # as an outlier from iteration one.
+    sw = switch_mask & g.edge_valid & (chi0_e > dcs_phi)
+    n_sw = jnp.sum(sw)
+    vals = jnp.sort(jnp.where(sw, chi0_e, jnp.inf))
+    med = vals[jnp.clip((n_sw - 1) // 2, 0, vals.shape[0] - 1)]
+    med = jnp.where(n_sw > 0, med, dcs_phi)
+    return jnp.maximum(jnp.float32(dcs_phi), 2.0 * med)
+
+
+def _dcs_phi_schedule(phi0, dcs_phi: float, n_acc, iters: int):
+    """Graduated non-convexity: geometric anneal phi0 -> dcs_phi, driven by
+    the ACCEPTED-step count (a rejected LM iteration must not burn the
+    anneal: with the raw iteration index a few rejections exhausted the
+    schedule before any drift was corrected and good closures with
+    still-large residuals were switched off)."""
+    frac = jnp.clip(1.0 - n_acc / max(iters - 1, 1), 0.0, 1.0)
+    return dcs_phi * (phi0 / dcs_phi) ** frac
+
+
 def _huber_weights(r, info, delta: float):
     """Per-edge robust reweighting factor (Huber on mahalanobis norm)."""
     m = jnp.sqrt(jnp.maximum(jnp.einsum("ei,eij,ej->e", r, info, r), 1e-12))
@@ -247,7 +325,7 @@ def _assemble_dense(g: PoseGraph, r, Ji, Jj, w, damping):
 def optimize_dense(g: PoseGraph, iters: int = 20, damping: float = 1e-4,
                    robust: bool = False, huber_delta: float = 1.0,
                    switch_mask: Optional[jnp.ndarray] = None,
-                   dcs_phi: float = 1.0) -> Tuple[PoseGraph, jnp.ndarray]:
+                   dcs_phi: float = DCS_PHI_DEFAULT) -> Tuple[PoseGraph, jnp.ndarray]:
     """LM with dense Cholesky — for graphs up to ~500 nodes.
 
     True Levenberg-Marquardt: scale-invariant damping (λ·diag H) with
@@ -262,17 +340,18 @@ def optimize_dense(g: PoseGraph, iters: int = 20, damping: float = 1e-4,
     """
     N = g.poses.shape[0]
 
-    def step(carry, k):
-        poses, lam, cur = carry
+    def step(carry, _):
+        poses, lam, n_acc = carry
         gg = g._replace(poses=poses)
         r, Ji, Jj = jax.vmap(_edge_residual_jac)(
             poses[g.edges_from], poses[g.edges_to], g.edges_meas
         )
         w = _huber_weights(r, g.edges_info, huber_delta) if robust else jnp.ones(r.shape[0])
+        phi_k = None
         if switch_mask is not None:
-            # graduated non-convexity: anneal Φ from 1e4·Φ down to Φ so good
-            # closures aren't switched off before drift is corrected
-            phi_k = dcs_phi * 10.0 ** (4.0 * (1.0 - k / max(iters - 1, 1)))
+            # graduated non-convexity: anneal Φ down so good closures
+            # aren't switched off before drift is corrected
+            phi_k = _dcs_phi_schedule(phi0, dcs_phi, n_acc, iters)
             w = w * _dcs_weights(r, g.edges_info, switch_mask, phi_k)
         H, b = _assemble_dense(gg, r, Ji, Jj, w, 0.0)
         dH = jnp.maximum(jnp.diagonal(H), 1e-8)
@@ -284,20 +363,21 @@ def optimize_dense(g: PoseGraph, iters: int = 20, damping: float = 1e-4,
         nrm = jnp.linalg.norm(dx, axis=-1, keepdims=True)
         dx = dx * jnp.minimum(1.0, 1.0 / jnp.maximum(nrm, 1e-9))
         cand = T.retract(poses, dx)
-        new = graph_chi2(g._replace(poses=cand))
+        # accept/reject on the ROBUST objective at this iteration's phi
+        cur = _robust_cost(g, poses, robust, huber_delta, switch_mask, phi_k)
+        new = _robust_cost(g, cand, robust, huber_delta, switch_mask, phi_k)
         ok = jnp.isfinite(new) & (new <= cur)
         poses = jnp.where(ok, cand, poses)
         lam = jnp.where(ok, jnp.maximum(lam / 3.0, 1e-9),
                         jnp.minimum(lam * 10.0, 1e8))
-        cur = jnp.where(ok, new, cur)
-        return (poses, lam, cur), None
+        return (poses, lam, n_acc + ok.astype(jnp.float32)), None
 
-    chi0 = graph_chi2(g)
-    (poses, _, chi2), _ = jax.lax.scan(
-        step, (g.poses, jnp.float32(damping), chi0),
-        jnp.arange(iters, dtype=jnp.float32))
+    phi0 = _dcs_phi0(g, switch_mask, dcs_phi) if switch_mask is not None else None
+    (poses, _, _), _ = jax.lax.scan(
+        step, (g.poses, jnp.float32(damping), jnp.float32(0.0)), None,
+        length=iters)
     out = g._replace(poses=poses)
-    return out, chi2
+    return out, graph_chi2(out)
 
 
 def _hx_product(g: PoseGraph, Ji, Jj, info_w, x, fix_diag):
@@ -318,20 +398,19 @@ def optimize_pcg(g: PoseGraph, iters: int = 15, cg_iters: int = 60,
                  damping: float = 1e-4, robust: bool = False,
                  huber_delta: float = 1.0,
                  switch_mask: Optional[jnp.ndarray] = None,
-                 dcs_phi: float = 1.0) -> Tuple[PoseGraph, jnp.ndarray]:
+                 dcs_phi: float = DCS_PHI_DEFAULT) -> Tuple[PoseGraph, jnp.ndarray]:
     """GN with matrix-free Jacobi-preconditioned CG — scales to large graphs
     and shards cleanly (the Hx product is gather/scatter over the edge
     slab; under `shard_map` edges partition across devices and the scatter
     becomes a psum)."""
     N = g.poses.shape[0]
 
-    def gn_step(poses, k, lam):
+    def gn_step(poses, phi_k, lam):
         r, Ji, Jj = jax.vmap(_edge_residual_jac)(
             poses[g.edges_from], poses[g.edges_to], g.edges_meas
         )
         w = _huber_weights(r, g.edges_info, huber_delta) if robust else jnp.ones(r.shape[0])
         if switch_mask is not None:
-            phi_k = dcs_phi * 10.0 ** (4.0 * (1.0 - k / max(iters - 1, 1)))
             w = w * _dcs_weights(r, g.edges_info, switch_mask, phi_k)
         info_w = g.edges_info * (w * g.edge_valid)[:, None, None]
         root_mask = jnp.zeros((N,)).at[g.root].set(1.0)
@@ -390,30 +469,36 @@ def optimize_pcg(g: PoseGraph, iters: int = 15, cg_iters: int = 60,
         dx = dx * jnp.minimum(1.0, 1.0 / jnp.maximum(nrm, 1e-9))
         return T.retract(poses, dx)
 
-    def step(carry, k):
-        # LM step acceptance: a CG step that raises chi² or goes
-        # non-finite is rejected and λ raised — the solve can never
-        # diverge from a far init
-        poses, lam, cur = carry
-        cand = gn_step(poses, k, lam)
-        new = graph_chi2(g._replace(poses=cand))
+    def step(carry, _):
+        # LM step acceptance: a CG step that raises the ROBUST objective
+        # or goes non-finite is rejected and λ raised — the solve can
+        # never diverge from a far init, and in Optimizer/Robust mode a
+        # step that correctly abandons an outlier closure is still
+        # accepted (its DCS cost saturates at phi)
+        poses, lam, n_acc = carry
+        phi_k = None
+        if switch_mask is not None:
+            phi_k = _dcs_phi_schedule(phi0, dcs_phi, n_acc, iters)
+        cand = gn_step(poses, phi_k, lam)
+        cur = _robust_cost(g, poses, robust, huber_delta, switch_mask, phi_k)
+        new = _robust_cost(g, cand, robust, huber_delta, switch_mask, phi_k)
         ok = jnp.isfinite(new) & (new <= cur)
         poses = jnp.where(ok, cand, poses)
         lam = jnp.where(ok, jnp.maximum(lam / 3.0, 1e-9),
                         jnp.minimum(lam * 10.0, 1e8))
-        return (poses, lam, jnp.where(ok, new, cur)), None
+        return (poses, lam, n_acc + ok.astype(jnp.float32)), None
 
-    chi0 = graph_chi2(g)
-    (poses, _, chi2), _ = jax.lax.scan(
-        step, (g.poses, jnp.float32(1e-4), chi0),
-        jnp.arange(iters, dtype=jnp.float32))
+    phi0 = _dcs_phi0(g, switch_mask, dcs_phi) if switch_mask is not None else None
+    (poses, _, _), _ = jax.lax.scan(
+        step, (g.poses, jnp.float32(damping), jnp.float32(0.0)), None,
+        length=iters)
     out = g._replace(poses=poses)
-    return out, chi2
+    return out, graph_chi2(out)
 
 
 def optimize(g: PoseGraph, iters: int = 20, robust: bool = False,
              dense_threshold: int = 400,
-             switch_mask: Optional[jnp.ndarray] = None, dcs_phi: float = 1.0):
+             switch_mask: Optional[jnp.ndarray] = None, dcs_phi: float = DCS_PHI_DEFAULT):
     """Strategy dispatch mirroring Optimizer::create: dense Cholesky for
     small graphs, PCG beyond. ``switch_mask`` marks loop-closure edges as
     switchable for DCS robust optimization (Optimizer/Robust ≈ Vertigo)."""

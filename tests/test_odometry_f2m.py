@@ -80,3 +80,43 @@ def test_local_ba_improves_or_preserves(tmp_path=None):
     # BA path must work and stay within 1.5x of the plain run (usually
     # better; synthetic depth is near-perfect so both are tiny)
     assert ates[1] < max(1.5 * ates[0], 0.05), ates
+
+
+def test_post_reset_covariance_maturity_window():
+    """Pin the round-4 post-reset covariance maturity decay
+    (odometry/f2m.py): the first TRACKED tick after bootstrap/reset() must
+    report a ~1e5-boosted covariance (no multi-view structure yet -> the
+    mm-level residual covariance poisons the RGBD/OptimizeMaxError gate),
+    decaying to the unboosted steady state after 5 tracked ticks."""
+    import jax.numpy as jnp
+
+    poses = S.loop_trajectory(64)[:10]
+    extract = jax.jit(lambda g, d: extract_features(g, d, CAM, 384))
+    odom = OdometryF2M(CAM)
+    traces = []
+    for i in range(10):
+        g, d = S.render(poses[i], CAM)
+        pose, cov, info = odom.process(extract(g, d))
+        assert pose is not None, f"lost at {i}"
+        traces.append(float(jnp.trace(cov)))
+    # tick 0 is bootstrap (fixed tiny cov); tick 1 is the first tracked
+    # tick: full 1e5 boost relative to the mature steady state
+    steady = traces[-1]
+    assert traces[1] / steady > 1e3, (traces[1], steady)
+    # monotone non-increasing through the window (same scene => the base
+    # residual covariance is comparable tick to tick)
+    assert traces[1] > traces[2] > traces[3], traces[:4]
+    # after >=6 tracked ticks the boost is gone: consecutive ticks agree
+    # within an order of magnitude
+    assert traces[-1] / traces[-2] < 10 and traces[-2] / traces[-1] < 10
+
+    # reset() restores the window
+    odom.reset(pose=poses[0])
+    g, d = S.render(poses[0], CAM)
+    odom.process(extract(g, d))          # bootstrap again
+    g, d = S.render(poses[1], CAM)
+    pose, cov, _ = odom.process(extract(g, d))
+    assert pose is not None
+    # base residual covariance varies ~100x frame to frame; the 1e5 boost
+    # still dominates by far
+    assert float(jnp.trace(cov)) / steady > 100

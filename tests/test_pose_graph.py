@@ -205,3 +205,95 @@ def test_gravity_priors_level_roll_pitch():
     # node 0 is the gauge-fixed root (clamped, like the reference's
     # fixed first pose) — only free nodes must level
     assert onp.abs(rpy[1:, 3:5]).max() < 0.05, rpy[:, 3:5]
+
+
+def test_lm_two_session_merge_extreme_information_spread():
+    """Pin the round-4 LM rewrite: a 500-node two-session merge whose edge
+    information spans 1e-6..1e8 produced NaN poses under plain fixed-damping
+    GN (float32 Cholesky breakdown -> the engine discarded the closure).
+    True LM with step acceptance must stay finite and actually merge the
+    sessions (inter-session closures satisfied)."""
+    import numpy as onp
+
+    n = 250  # per session
+    key = jax.random.PRNGKey(7)
+    # session 1: straight line in x; session 2: parallel line offset in y,
+    # but INITIALIZED with a large bogus offset (unmerged sessions start at
+    # odometry frames far from the closure-consistent configuration)
+    gt = onp.zeros((2 * n, 3, 4), onp.float32)
+    gt[:, :, :3] = onp.eye(3)
+    gt[:n, 0, 3] = onp.arange(n) * 0.1
+    gt[n:, 0, 3] = onp.arange(n) * 0.1
+    gt[n:, 1, 3] = 0.5
+    init = gt.copy()
+    init[n:, 0, 3] += 5.0   # second session far from truth
+    init[n:, 1, 3] += 3.0
+
+    ef, et, meas, info = [], [], [], []
+    rel = onp.eye(3, 4, dtype=onp.float32)
+    rel[0, 3] = 0.1
+    for s in range(2):
+        for i in range(n - 1):
+            ef.append(s * n + i)
+            et.append(s * n + i + 1)
+            meas.append(rel)
+            # extreme information spread: alternate overconfident
+            # (post-reset style 1e8) and mature (1e2) odometry edges
+            info.append(onp.eye(6, dtype=onp.float32) *
+                        (1e8 if i % 7 == 0 else 1e2))
+    # inter-session closures every 25 nodes with true relative pose
+    for i in range(0, n, 25):
+        ef.append(i)
+        et.append(n + i)
+        m = onp.eye(3, 4, dtype=onp.float32)
+        m[1, 3] = 0.5
+        meas.append(m)
+        info.append(onp.eye(6, dtype=onp.float32) * 1e4)
+    # a couple of deliberately weak edges (1e-6) exercising the low end
+    for i in (3, 150):
+        ef.append(i)
+        et.append(i + 1)
+        meas.append(rel)
+        info.append(onp.eye(6, dtype=onp.float32) * 1e-6)
+
+    g = PG.make_graph(
+        jnp.asarray(init), jnp.asarray(onp.array(ef, onp.int32)),
+        jnp.asarray(onp.array(et, onp.int32)),
+        jnp.asarray(onp.stack(meas)), jnp.asarray(onp.stack(info)))
+    out, chi2 = PG.optimize(g, iters=24)
+    poses = np.asarray(out.poses)
+    assert np.all(np.isfinite(poses)), "LM produced non-finite poses"
+    assert np.isfinite(float(chi2))
+    # sessions actually merged: closure edges satisfied to centimetres at
+    # every closure-constrained node (the free tail past the last closure
+    # converges slower under PCG and is not part of the regression)
+    sess2 = poses[250:]
+    dy = sess2[:, 1, 3] - poses[:250, 1, 3]
+    closure_nodes = np.arange(0, 250, 25)
+    assert np.all(np.abs(dy[closure_nodes] - 0.5) < 0.05), dy[closure_nodes]
+    assert np.all(np.abs(dy - 0.5) < 0.15), (dy.min(), dy.max())
+
+
+def test_lm_rejected_steps_do_not_burn_dcs_anneal():
+    """The graduated-non-convexity schedule must be driven by the
+    ACCEPTED-step count, not the raw iteration index: rejected LM
+    iterations (n_acc frozen) leave phi at its current level instead of
+    exhausting the anneal before any drift is corrected."""
+    # schedule pinned: phi stays at phi0 while no step is accepted ...
+    assert float(PG._dcs_phi_schedule(1e4, 1.0, jnp.float32(0.0), 15)) == 1e4
+    # ... decays only with accepted steps, reaching dcs_phi at iters-1
+    mid = float(PG._dcs_phi_schedule(1e4, 1.0, jnp.float32(7.0), 15))
+    assert 1.0 < mid < 1e4
+    assert abs(float(PG._dcs_phi_schedule(1e4, 1.0, jnp.float32(14.0), 15)) - 1.0) < 1e-3
+    # and overshooting accepted count clamps at dcs_phi
+    assert abs(float(PG._dcs_phi_schedule(1e4, 1.0, jnp.float32(99.0), 15)) - 1.0) < 1e-3
+
+    # behavioral: a sluggish start (large initial lambda -> tiny early
+    # steps) still ends with the good closure active and drift corrected
+    g, gt = make_noisy_loop()
+    E = g.edges_from.shape[0]
+    switch = jnp.zeros((E,), bool).at[-1].set(True)
+    out, _ = PG.optimize_dense(g, iters=15, damping=1.0,
+                               switch_mask=switch, dcs_phi=1.0)
+    ate = _ate(out.poses, gt)
+    assert ate < _ate(g.poses, gt) * 0.65, ate
