@@ -47,7 +47,7 @@ _cache = pathlib.Path(__file__).resolve().parent / ".jax_cache_tpu"
 PRIMARY_TIMEOUT_S = int(os.environ.get("BENCH_PRIMARY_TIMEOUT_S", "300"))
 PRIMARY_RETRIES = int(os.environ.get("BENCH_PRIMARY_RETRIES", "3"))
 EXTRA_TIMEOUT_S = int(os.environ.get("BENCH_EXTRA_TIMEOUT_S", "300"))
-TOTAL_BUDGET_S = int(os.environ.get("BENCH_TOTAL_BUDGET_S", "1500"))
+TOTAL_BUDGET_S = int(os.environ.get("BENCH_TOTAL_BUDGET_S", "2700"))
 
 
 def _sync(x):
@@ -122,7 +122,7 @@ def bench_vo_kernel(repeats: int = 5, rounds: int = 10):
     }
 
 
-def _populate_engine(n_nodes: int, node_capacity: int):
+def _populate_engine(n_nodes: int, node_capacity: int, mesh=None):
     """Engine with n_nodes resident WM nodes (synthetic features)."""
     import jax
     import jax.numpy as jnp
@@ -137,7 +137,8 @@ def _populate_engine(n_nodes: int, node_capacity: int):
     cam = C.CameraModel.make(300.0, 300.0, 160.0, 120.0, 320, 240)
     K = 256
     slam = Rtabmap(cam, Parameters(), node_capacity=node_capacity,
-                   words_per_frame=K)
+                   words_per_frame=K, mesh=mesh)
+    node_capacity = slam.memory.node_capacity  # mesh rounds capacity up
     rng = np.random.RandomState(1)
 
     def frame(seed):
@@ -173,10 +174,24 @@ def _populate_engine(n_nodes: int, node_capacity: int):
     uv_slab[:n_nodes] = all_uv
     pts_slab[:n_nodes] = all_pts
     valid_slab[:n_nodes] = True
-    mem.node_words = jnp.asarray(words_slab)
-    mem.node_uv = jnp.asarray(uv_slab)
-    mem.node_pts = jnp.asarray(pts_slab)
-    mem.node_valid = jnp.asarray(valid_slab)
+    if mesh is not None:
+        # bulk upload must PRESERVE the slab partitioning
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        ax = slam.memory.shard_axis
+        mem.node_words = jax.device_put(
+            jnp.asarray(words_slab), NamedSharding(mesh, P(ax, None)))
+        mem.node_uv = jax.device_put(
+            jnp.asarray(uv_slab), NamedSharding(mesh, P(ax, None, None)))
+        mem.node_pts = jax.device_put(
+            jnp.asarray(pts_slab), NamedSharding(mesh, P(ax, None, None)))
+        mem.node_valid = jax.device_put(
+            jnp.asarray(valid_slab), NamedSharding(mesh, P(ax)))
+    else:
+        mem.node_words = jnp.asarray(words_slab)
+        mem.node_uv = jnp.asarray(uv_slab)
+        mem.node_pts = jnp.asarray(pts_slab)
+        mem.node_valid = jnp.asarray(valid_slab)
     mem.host_valid = valid_slab.copy()
     mem.host_wm = valid_slab.copy()
     counts = np.zeros((W,), np.float32)
@@ -206,10 +221,18 @@ def _populate_engine(n_nodes: int, node_capacity: int):
     return slam, frame
 
 
-def bench_engine_tick(n_nodes: int, node_capacity: int, ticks: int = 12):
-    """Median full-engine-tick latency with n_nodes resident (ms)."""
+def bench_engine_tick(n_nodes: int, node_capacity: int, ticks: int = 12,
+                      mesh_devices: int = 0):
+    """Median full-engine-tick latency with n_nodes resident (ms).
+    ``mesh_devices`` > 0 runs the ENGINE sharded over a virtual CPU mesh
+    (the multi-chip configuration, slabs partitioned under GSPMD)."""
+    mesh = None
+    if mesh_devices:
+        from rtabmap_tpu.parallel.sharded import make_mesh
+
+        mesh = make_mesh(mesh_devices)
     t_c = time.perf_counter()
-    slam, frame = _populate_engine(n_nodes, node_capacity)
+    slam, frame = _populate_engine(n_nodes, node_capacity, mesh=mesh)
     pose = np.eye(3, 4, dtype=np.float32)
     times = []
     setup_s = None
@@ -222,6 +245,8 @@ def bench_engine_tick(n_nodes: int, node_capacity: int, ticks: int = 12):
         if setup_s is None:
             setup_s = time.perf_counter() - t_c  # populate + compile tick
     label = f"wm{n_nodes // 1000}k"
+    if mesh_devices:
+        label += f"_sh{mesh_devices}"
     ms = float(np.median(times) * 1000.0)
     rec = {
         f"engine_tick_ms_{label}": round(ms, 2),
@@ -272,16 +297,29 @@ PHASES = {
     "tick1k": lambda: bench_engine_tick(1000, 2048, ticks=8),
     "tick4k": lambda: bench_engine_tick(4096, 6144, ticks=6),
     "tick8k": lambda: bench_engine_tick(8192, 10240, ticks=5),
-    # scale-gauntlet phases (not in the default run — PARITY.md curve):
+    # scale gauntlet — driver-captured since round 5 (VERDICT r4 next #6)
     "tick16k": lambda: bench_engine_tick(16384, 20480, ticks=4),
     "tick32k": lambda: bench_engine_tick(32768, 36864, ticks=3),
     "tick64k": lambda: bench_engine_tick(65536, 73728, ticks=3),
+    # the ENGINE sharded over a virtual 8-device CPU mesh (multi-chip
+    # configuration; bench host has 1 real chip — VERDICT r4 next #2)
+    "tick4k_sharded8": lambda: bench_engine_tick(4096, 6144, ticks=4,
+                                                 mesh_devices=8),
     "fleet": bench_fleet_tick,
 }
 
 
 def _run_phase_inline(name: str) -> None:
     """Child-process entry: run one phase, print its JSON record."""
+    if "sharded" in name:
+        # virtual CPU mesh BEFORE any jax import: the sharded phase
+        # validates the multi-chip engine configuration on this
+        # single-chip host
+        os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                                   + " --xla_force_host_platform_device_count=8")
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     _enable_cache()
     rec = PHASES[name]()
     print(json.dumps(rec))
@@ -343,9 +381,11 @@ def main():
 
     # --- extras: each in its own subprocess; skips are always recorded
     skipped = {}
-    for name in ("tick1k", "tick4k", "tick8k", "fleet"):
-        # the 8k tick pays the largest populate + per-bucket compiles
-        cap = EXTRA_TIMEOUT_S * 2 if name == "tick8k" else EXTRA_TIMEOUT_S
+    _caps = {"tick8k": 2, "tick16k": 2, "tick64k": 3}
+    for name in ("tick1k", "tick4k", "tick8k", "tick16k", "tick64k",
+                 "tick4k_sharded8", "fleet"):
+        # bigger ticks pay the largest populate + per-bucket compiles
+        cap = EXTRA_TIMEOUT_S * _caps.get(name, 1)
         budget = int(min(cap, remaining() - 20))
         if budget < 60:
             skipped[name] = f"time_budget ({int(remaining())}s left)"

@@ -98,6 +98,10 @@ class Rtabmap:
         # _optimize. None = single-device (identical numerics modulo
         # reduction order).
         self.mesh, self.shard_axis = mesh, shard_axis
+        # multi-PROCESS mesh (jax.distributed): device_get of an array
+        # sharded over non-addressable devices is illegal — fetches of
+        # sharded outputs must allgather (SURVEY §5.8)
+        self._multihost = mesh is not None and jax.process_count() > 1
         self.memory = Memory(p, node_capacity=node_capacity,
                              words_per_frame=words_per_frame, db=db,
                              mesh=mesh, shard_axis=shard_axis)
@@ -526,7 +530,7 @@ class Rtabmap:
                     self.bayes.vp_prior,
                     use_tfidf=mem.tfidf_likelihood_used)
                 self.bayes.state = BF.BayesState(posterior=post)
-                best_slot, best_post, vp, lik_host = jax.device_get(
+                best_slot, best_post, vp, lik_host = self._fetch(
                     (best_slot, best_post, vp, adj))
                 # kept for proximity path ranking (reference sorts nearest
                 # paths by likelihood, Rtabmap.cpp:2796)
@@ -980,6 +984,23 @@ class Rtabmap:
                                                np.stack(gt)).items():
                     st.add(k, v)
 
+    def _fetch(self, tree):
+        """Multihost-safe jax.device_get: arrays sharded over
+        non-addressable devices are allgathered first (no-op pass-through
+        on single-process meshes and plain arrays)."""
+        if not self._multihost:
+            return jax.device_get(tree)
+        from jax.experimental import multihost_utils
+
+        def one(a):
+            if (hasattr(a, "sharding")
+                    and not a.sharding.is_fully_replicated):
+                return np.asarray(
+                    multihost_utils.process_allgather(a, tiled=True))
+            return jax.device_get(a)
+
+        return jax.tree_util.tree_map(one, tree)
+
     # ---------------------------------------------------------- verification
     def _verify_hypothesis_ep(self, sig: Signature, hyp_id: int,
                               st: Statistics) -> bool:
@@ -994,7 +1015,30 @@ class Rtabmap:
             old = self.memory.get(hyp_id)
             if old is None or old.uv is None or sig.uv is None:
                 return False
-            ia, ib = _shared_word_rows(old.word_ids, sig.word_ids)
+            mem = self.memory
+            if (mem.cor_nn_type == 6
+                    and getattr(old, "descf", None) is not None
+                    and getattr(sig, "descf", None) is not None
+                    and mem._ensure_matcher()
+                    and mem.py_matcher is not None):
+                # learned stack: correspondences from the trained
+                # attentional matcher instead of shared-word rows (with a
+                # learned detector the binarized words are too coarse for
+                # unique-pair extraction; the matcher is the learned
+                # equivalent of EpipolarGeometry's word pairing)
+                sc = jnp.full((old.uv.shape[0],), 0.5, jnp.float32)
+                va = jnp.asarray(np.any(old.desc != 0, axis=1))
+                vb = jnp.asarray(np.any(sig.desc != 0, axis=1))
+                idx, okm, _conf = mem.py_matcher.match(
+                    jnp.asarray(old.descf), jnp.asarray(old.uv), sc, va,
+                    jnp.asarray(sig.descf), jnp.asarray(sig.uv), sc, vb,
+                    image_wh=(float(self.cam.width), float(self.cam.height)),
+                    threshold=mem.pymatcher_threshold)
+                okm = np.asarray(okm)
+                ia = np.nonzero(okm)[0]
+                ib = np.asarray(idx)[ia]
+            else:
+                ia, ib = _shared_word_rows(old.word_ids, sig.word_ids)
             st.add("Loop/Epipolar pairs/", len(ia))
             if len(ia) < self.vh_ep_match_count_min:
                 return False

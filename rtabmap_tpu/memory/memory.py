@@ -37,8 +37,11 @@ from rtabmap_tpu.core.frame import FrameFeatures
 from rtabmap_tpu.geometry import camera as C
 from rtabmap_tpu.geometry import transform as T
 from rtabmap_tpu.ops import ransac as R
+from rtabmap_tpu.utils.logging import get_logger
 from rtabmap_tpu.utils.params import Parameters
 from rtabmap_tpu.vocab.dictionary import VWDictionary
+
+log = get_logger("memory")
 
 
 # Link types (reference: Link.h:41-50)
@@ -320,9 +323,18 @@ class Memory:
         self.bad_sign_ratio = float(p["Kp/BadSignRatio"])
         self.bad_signatures_ignored = bool(p["Mem/BadSignaturesIgnored"])
         self.kp_max_features = int(p["Kp/MaxFeatures"])
-        # Vis/CorNNType=6: official SuperGlue matcher (PyMatcher slot) —
-        # attach pretrained params via set_superglue()
+        # Vis/CorNNType=6: attentional matcher (the reference's PyMatcher
+        # slot, python/PyMatcher.cpp). Two backends: official-architecture
+        # SuperGlue params (attach via set_superglue(), converted
+        # checkpoint) or the in-repo trained SuperGlueMatcher
+        # (models/superglue.py), auto-loaded on first use when
+        # PyMatcher/Path is empty — so Vis/CorNNType=6 works out of the
+        # box with the bundled weights.
         self.superglue_params = None
+        self.py_matcher = None
+        self.pymatcher_path = str(p["PyMatcher/Path"] or "")
+        self.pymatcher_threshold = float(p["PyMatcher/Threshold"])
+        self.pymatcher_iters = int(p["PyMatcher/Iterations"])
         self.node_capacity = node_capacity
         self.K = words_per_frame
         self.vocab = vocab or VWDictionary(
@@ -862,9 +874,10 @@ class Memory:
             return self._compute_transform_flow(
                 a, b, cam, cam_tuple, guess_arr if has_guess else None,
                 key, iters, reproj_px, min_inliers)
-        if (self.cor_nn_type == 6 and self.superglue_params is not None
+        if (self.cor_nn_type == 6
                 and getattr(a, "descf", None) is not None
-                and getattr(b, "descf", None) is not None):
+                and getattr(b, "descf", None) is not None
+                and self._ensure_matcher()):
             return self._compute_transform_superglue(
                 a, b, cam, guess_arr if has_guess else None, key, iters,
                 reproj_px, min_inliers)
@@ -973,29 +986,62 @@ class Memory:
             "distribution": distribution,
         }
 
+    def _ensure_matcher(self) -> bool:
+        """Resolve the Vis/CorNNType=6 matcher backend on first use.
+        Empty PyMatcher/Path -> the bundled in-repo trained matcher
+        (models/weights/superglue_distilled.npz); an .npz path -> the
+        official-architecture converted checkpoint (set_superglue role).
+        Returns True when a matcher is available."""
+        if self.superglue_params is not None or self.py_matcher is not None:
+            return True
+        try:
+            if self.pymatcher_path:
+                from rtabmap_tpu.models import superglue_official as sgo
+
+                self.superglue_params = sgo.load_params(self.pymatcher_path)
+            else:
+                from rtabmap_tpu.models.superglue import SuperGlueMatcher
+
+                self.py_matcher = SuperGlueMatcher.distilled()
+        except Exception as e:  # missing weights: fall back to NNDR path
+            log.warning("CorNNType=6 matcher unavailable (%s); "
+                        "falling back to NNDR matching", e)
+            self.cor_nn_type = 1
+            return False
+        return True
+
     def _compute_transform_superglue(self, a: Signature, b: Signature,
                                      cam: C.CameraModel, guess, key,
                                      iters: int, reproj_px: float,
                                      min_inliers: int):
-        """Official-SuperGlue correspondence mode (reference: the
+        """Attentional-matcher correspondence mode (reference: the
         PyMatcher bridge, Vis/CorNNType=6 -> rtabmap_superglue.py): the
-        attentional matcher produces the assignment; PnP estimates the
-        transform from A's 3D and B's matched pixels."""
-        from rtabmap_tpu.models.superglue_official import (
-            match_from_scores, superglue_apply,
-        )
-
-        # keypoint confidences are not persisted per node; the pretrained
-        # net tolerates a flat prior (the encoder sees score as one input
+        matcher produces the assignment; PnP estimates the transform from
+        A's 3D and B's matched pixels."""
+        # keypoint confidences are not persisted per node; both nets
+        # tolerate a flat prior (the encoder sees score as one input
         # channel)
         sc_a = jnp.full((a.uv.shape[0],), 0.5, jnp.float32)
         sc_b = jnp.full((b.uv.shape[0],), 0.5, jnp.float32)
-        Z = superglue_apply(
-            self.superglue_params, jnp.asarray(a.uv), sc_a,
-            jnp.asarray(a.descf), jnp.asarray(b.uv), sc_b,
-            jnp.asarray(b.descf), float(cam.width), float(cam.height),
-            iters=50)
-        idx_ab, match_valid, _score = match_from_scores(Z)
+        if self.py_matcher is not None:
+            va = jnp.asarray(np.any(a.desc != 0, axis=1))
+            vb = jnp.asarray(np.any(b.desc != 0, axis=1))
+            idx_ab, match_valid, _conf = self.py_matcher.match(
+                jnp.asarray(a.descf), jnp.asarray(a.uv), sc_a, va,
+                jnp.asarray(b.descf), jnp.asarray(b.uv), sc_b, vb,
+                image_wh=(float(cam.width), float(cam.height)),
+                threshold=self.pymatcher_threshold)
+        else:
+            from rtabmap_tpu.models.superglue_official import (
+                match_from_scores, superglue_apply,
+            )
+
+            Z = superglue_apply(
+                self.superglue_params, jnp.asarray(a.uv), sc_a,
+                jnp.asarray(a.descf), jnp.asarray(b.uv), sc_b,
+                jnp.asarray(b.descf), float(cam.width), float(cam.height),
+                iters=50)
+            idx_ab, match_valid, _score = match_from_scores(Z)
         w = match_valid & jnp.asarray(a.valid3d)
         res = R.ransac_pnp(
             jnp.asarray(a.pts3d), jnp.asarray(b.uv)[idx_ab], w, cam, key,

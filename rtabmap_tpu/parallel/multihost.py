@@ -12,10 +12,10 @@ Typical pod-slice usage (same script on every host)::
     from rtabmap_tpu.parallel import multihost as MH
     MH.initialize()                     # env-driven (TPU pods auto-detect)
     mesh = MH.global_mesh()             # 1-D mesh over all chips
-    # sharded_knn2 / sharded_tfidf / ShardedNodeStore / sharded_ba_step
+    # sharded_knn2 / sharded_tfidf / sharded_ba_step
     # now shard over every chip in the slice.
 
-The vocabulary and ShardedNodeStore slabs shard over the global axis, so
+The vocabulary and Memory node slabs shard over the global axis, so
 the loop-closure search capacity and the WM memory ceiling scale with
 hosts — the reference's WM/LTM paging pressure (Rtabmap/TimeThr
 transfers) simply moves out as chips are added.

@@ -280,128 +280,6 @@ def sharded_vo_step(mesh: Mesh, grays_a, depths_a, grays_b, depths_b, keys,
 # ---------------------------------------------------- sharded WM/LTM store
 
 
-class ShardedNodeStore:
-    """LTM/WM keyframe store partitioned over a device mesh (SURVEY
-    §2.3(c)/§5.7: the reference's WM is a single-process cache over the
-    SQLite LTM; here node slabs live HBM-resident, sharded over the mesh
-    node axis, so the memory ceiling and the likelihood/retrieval work
-    both scale with chips).
-
-    Host keeps the canonical slabs (the DB remains the durable LTM);
-    ``sync()`` uploads them with a ``NamedSharding`` over axis 0.
-    ``likelihood()`` runs the sharded tf-idf; ``retrieve()`` gathers the
-    requested nodes' word/descriptor blocks to every host — a one-hot
-    matmul per shard + one psum, the collective form of the reference's
-    Memory::reactivateSignatures DB paging (Memory.cpp:7037).
-    """
-
-    def __init__(self, mesh: Mesh, capacity: int, words_per_node: int,
-                 desc_dim: int = DESC_DIM, axis: str = "shard"):
-        self.mesh, self.axis = mesh, axis
-        n_sh = mesh.shape[axis]
-        self.capacity = ((capacity + n_sh - 1) // n_sh) * n_sh
-        self.K, self.D = words_per_node, desc_dim
-        self.h_words = np.full((self.capacity, self.K), -1, np.int32)
-        self.h_desc = np.zeros((self.capacity, self.K, desc_dim), np.int8)
-        self.h_valid = np.zeros(self.capacity, bool)
-        self.node_ids = np.full(self.capacity, -1, np.int64)
-        self._slot_of = {}
-        self._next = 0
-        self._dirty = True
-        self._dev = None
-
-    def insert(self, node_id: int, word_ids, desc) -> int:
-        """Assign the next slot (striped across shards) to this node."""
-        if node_id in self._slot_of:
-            slot = self._slot_of[node_id]
-        else:
-            if self._next >= self.capacity:
-                raise RuntimeError("ShardedNodeStore full")
-            # stripe: consecutive inserts land on different shards so a
-            # growing map stays balanced without repacking
-            n_sh = self.mesh.shape[self.axis]
-            per = self.capacity // n_sh
-            slot = (self._next % n_sh) * per + self._next // n_sh
-            self._next += 1
-            self._slot_of[node_id] = slot
-        k = min(len(word_ids), self.K)
-        self.h_words[slot, :k] = np.asarray(word_ids[:k], np.int32)
-        self.h_words[slot, k:] = -1
-        self.h_desc[slot, :k] = np.asarray(desc[:k], np.int8)
-        self.h_valid[slot] = True
-        self.node_ids[slot] = node_id
-        self._dirty = True
-        return slot
-
-    def remove(self, node_id: int) -> None:
-        slot = self._slot_of.pop(node_id, None)
-        if slot is not None:
-            self.h_valid[slot] = False
-            self.node_ids[slot] = -1
-            self._dirty = True
-
-    def sync(self):
-        """Upload host slabs sharded over the mesh node axis."""
-        if self._dirty or self._dev is None:
-            sh = NamedSharding(self.mesh, P(self.axis))
-            sh2 = NamedSharding(self.mesh, P(self.axis, None))
-            sh3 = NamedSharding(self.mesh, P(self.axis, None, None))
-            self._dev = (
-                jax.device_put(self.h_words, sh2),
-                jax.device_put(self.h_desc, sh3),
-                jax.device_put(self.h_valid, sh),
-            )
-            self._dirty = False
-        return self._dev
-
-    def likelihood(self, query_words, word_nw, n_places: int,
-                   vocab_cap: int):
-        """Sharded tf-idf over the resident slab -> (capacity,) scores."""
-        words, _, valid = self.sync()
-        return sharded_tfidf(self.mesh, query_words, words, valid, word_nw,
-                             n_places, vocab_cap, axis=self.axis)
-
-    def retrieve(self, slots):
-        """Gather nodes by slot from the sharded store, replicated out.
-
-        slots: (R,) int32 device/host array. Returns (words (R,K),
-        desc (R,K,D) f32, found (R,)) — one one-hot matmul per shard +
-        one psum over the node axis.
-        """
-        words, desc, valid = self.sync()
-        axis, cap = self.axis, self.capacity
-        n_sh = self.mesh.shape[axis]
-        per = cap // n_sh
-
-        def local(slots, w_l, d_l, v_l):
-            my = jax.lax.axis_index(axis)
-            loc = slots - my * per
-            mine = (loc >= 0) & (loc < per)
-            locc = jnp.clip(loc, 0, per - 1)
-            onehot = (jax.nn.one_hot(locc, per, dtype=jnp.float32)
-                      * mine[:, None])                       # (R, per)
-            # selection rides the MXU: (R,per) @ (per,K*D)
-            wsel = onehot @ w_l.astype(jnp.float32)          # (R,K)
-            dsel = (onehot @ d_l.reshape(per, -1).astype(jnp.float32))
-            fsel = onehot @ v_l.astype(jnp.float32)
-            out = (jax.lax.psum(wsel, axis), jax.lax.psum(dsel, axis),
-                   jax.lax.psum(fsel, axis))
-            return out
-
-        fn = shard_map(
-            local, mesh=self.mesh,
-            in_specs=(P(), P(axis, None), P(axis, None, None), P(axis)),
-            out_specs=(P(), P(), P()),
-        )
-        w, d, f = fn(jnp.asarray(slots, jnp.int32), words, desc, valid)
-        R = len(slots)
-        return (w.astype(jnp.int32), d.reshape(R, self.K, self.D),
-                f > 0.5)
-
-    def slot_of(self, node_id: int):
-        return self._slot_of.get(node_id, -1)
-
-
 def sharded_ba_large_step(mesh: Mesh, poses, points, cam_idx, pt_idx, uv,
                           valid, fixed_cams, damping: float = 1e-3,
                           huber: float = 0.01, cg_iters: int = 20,

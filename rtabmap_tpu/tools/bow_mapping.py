@@ -24,7 +24,7 @@ def run(image_dir: str, params=None, max_kp: int = 400, max_images: int = 0,
     import jax.numpy as jnp
     from PIL import Image
 
-    from rtabmap_tpu.core.frame import extract_features
+    from rtabmap_tpu.core.frame import FeatureExtractor
     from rtabmap_tpu.engine.rtabmap import Rtabmap
     from rtabmap_tpu.geometry import camera as C
     from rtabmap_tpu.ops import image as im
@@ -48,9 +48,9 @@ def run(image_dir: str, params=None, max_kp: int = 400, max_images: int = 0,
     cam = C.CameraModel.make(W, W, W / 2 - 0.5, H / 2 - 0.5, W, H)  # nominal
     slam = Rtabmap(cam, p, node_capacity=max(len(files) + 16, 128),
                    words_per_frame=max_kp)
-    extract = jax.jit(
-        lambda g, d: extract_features(g, d, cam, max_kp)
-    )
+    # Kp/DetectorStrategy dispatch: classical response maps or the
+    # learned SuperPoint front end (strategy 11)
+    fe = FeatureExtractor(cam, p, max_kp=max_kp)
     zero_depth = jnp.zeros((H, W), jnp.float32)
 
     closures = []
@@ -58,9 +58,9 @@ def run(image_dir: str, params=None, max_kp: int = 400, max_images: int = 0,
         arr = np.asarray(Image.open(f))
         gray = im.rgb_to_gray(jnp.asarray(arr)) if arr.ndim == 3 else (
             jnp.asarray(arr, jnp.float32) / 255.0)
-        fr = extract(gray, zero_depth)
+        fr, descf = fe.extract(gray, zero_depth)
         st = slam.process(fr, np.eye(3, 4, dtype=np.float32), np.eye(6) * 9e-5,
-                          stamp=float(i))
+                          stamp=float(i), descf=descf)
         hyp = st.get("Loop/Highest hypothesis value/", 0.0)
         if st.loop_closure_id:
             closures.append((st.ref_id, st.loop_closure_id, hyp))

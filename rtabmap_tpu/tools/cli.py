@@ -203,6 +203,44 @@ def tool_import_ref_db(argv: List[str]):
     return info
 
 
+def tool_export_ref_db(argv: List[str]):
+    """Export a native framework .db to a REFERENCE-format .db the
+    reference's DatabaseViewer/report/reprocess tools can open (inverse
+    of import_ref_db; memory/ref_db_export.py — reference:
+    DBDriverSqlite3 save path, DatabaseSchema.sql.in:16-130).
+    Usage: export_ref_db <ours.db> <out_ref.db>."""
+    from rtabmap_tpu.memory.db import Database
+    from rtabmap_tpu.memory.ref_db import RefDatabase
+    from rtabmap_tpu.memory.ref_db_export import export_ref_db
+
+    src_path, out_path = argv[0], argv[1]
+    src = Database(src_path, async_writes=False)
+    sigs = {}
+    for nid in src.all_node_ids():
+        s = src.load_signature(nid)
+        if s is not None:
+            sigs[nid] = s
+    admin = src.load_admin()
+    words = None
+    if admin.get("vocab"):
+        # native vocab: word id == slab row index
+        slab = np.asarray(admin["vocab"]["slab"])
+        words = {k: slab[k] for k in range(slab.shape[0])}
+    src.close()
+    n = export_ref_db(out_path, sigs,
+                      optimized_poses=admin.get("optimized_poses") or None,
+                      words=words,
+                      parameters=admin.get("parameters") or None)
+    check = RefDatabase(out_path)
+    info = {"source": src_path, "out": out_path, "nodes": n,
+            "readback_nodes": len(check.node_ids()),
+            "readback_links": len(check.load_links()),
+            "readback_opt_poses": len(check.load_optimized_poses())}
+    check.close()
+    print(json.dumps(info, indent=2))
+    return info
+
+
 def tool_report(argv: List[str]):
     """Evaluation report over map stores (reference: tools/Report/main.cpp
     — re-optimization + gt ATE/KITTI/relative/loop errors, pose exports,
@@ -595,9 +633,26 @@ def tool_matcher(argv: List[str]):
     ga, gb = load(pa), load(pb)
     H, W = np.asarray(ga).shape
     cam = C.CameraModel.make(W, W, W / 2 - 0.5, H / 2 - 0.5, W, H)
-    ext = jax.jit(lambda g: extract_features(g, jnp.zeros_like(g), cam, max_kp))
-    fa, fb = ext(ga), ext(gb)
-    m = M.match_mutual_nndr(fa.desc, fa.valid, fb.desc, fb.valid, nndr=nndr)
+    from rtabmap_tpu.core.frame import FeatureExtractor
+
+    fe = FeatureExtractor(cam, params, max_kp=max_kp)
+    (fa, dfa), (fb, dfb) = fe.extract(ga), fe.extract(gb)
+    if int(params["Vis/CorNNType"]) == 6 and dfa is not None:
+        # learned attentional matcher (reference: Matcher tool's PyMatcher
+        # option) — the bundled trained weights
+        from rtabmap_tpu.models.superglue import SuperGlueMatcher
+
+        sgm = SuperGlueMatcher.distilled()
+        sc = jnp.full((fa.uv.shape[0],), 0.5, jnp.float32)
+        idx, okm, _conf = sgm.match(
+            dfa, fa.uv, sc, fa.valid, dfb, fb.uv, sc, fb.valid,
+            image_wh=(float(cam.width), float(cam.height)),
+            threshold=float(params["PyMatcher/Threshold"]))
+        m = M.Matches(idx=idx, dist=jnp.zeros_like(sc),
+                      second=jnp.zeros_like(sc), valid=okm)
+    else:
+        m = M.match_mutual_nndr(fa.desc, fa.valid, fb.desc, fb.valid,
+                                nndr=nndr)
     nm = int(np.asarray(m.valid).sum())
     ok, F, inl = EP.check_hypothesis(fa.uv, fb.uv[m.idx], m.valid,
                                      jax.random.PRNGKey(0))
@@ -753,7 +808,7 @@ def tool_console_app(argv: List[str]):
     import jax
     import jax.numpy as jnp
 
-    from rtabmap_tpu.core.frame import extract_features
+    from rtabmap_tpu.core.frame import FeatureExtractor
     from rtabmap_tpu.engine.rtabmap import Rtabmap
     from rtabmap_tpu.geometry import camera as C
     from rtabmap_tpu.sensors.capture import CameraImages
@@ -819,10 +874,11 @@ def tool_console_app(argv: List[str]):
             n_kp = int(params["Kp/MaxFeatures"])
             n_kp = 400 if n_kp <= 0 else n_kp
             slam = Rtabmap(cam, params, words_per_frame=n_kp)
-            ext = jax.jit(lambda x: extract_features(
-                x, jnp.zeros_like(x), cam, n_kp))
-        st = slam.process(ext(g), np.eye(3, 4, dtype=np.float32),
-                          stamp=float(sd.id))
+            # Kp/DetectorStrategy dispatch: classical or SuperPoint (11)
+            ext = FeatureExtractor(cam, params, max_kp=n_kp)
+        fr, descf = ext.extract(g)
+        st = slam.process(fr, np.eye(3, 4, dtype=np.float32),
+                          stamp=float(sd.id), descf=descf)
         hyp_id, hyp_val = slam.last_hypothesis
         lc = int(st.get("Loop/Id/") or 0)
         if lc:
@@ -1211,6 +1267,7 @@ TOOLS = {
     "cid_sims_dataset": tool_cid_sims_dataset,
     "info": tool_info,
     "import_ref_db": tool_import_ref_db,
+    "export_ref_db": tool_export_ref_db,
     "report": tool_report,
     "reprocess": tool_reprocess,
     "export": tool_export,

@@ -22,7 +22,8 @@ def run_dataset(frames: Iterable, camera, params=None, stereo_model=None,
     import jax
     import jax.numpy as jnp
 
-    from rtabmap_tpu.core.frame import FrameFeatures, extract_features
+    from rtabmap_tpu.core.frame import (FeatureExtractor, FrameFeatures,
+                                        extract_features)
     from rtabmap_tpu.engine.rtabmap import Rtabmap
     from rtabmap_tpu.odometry.f2m import OdometryF2M
     from rtabmap_tpu.ops import features as F, stereo as ST
@@ -45,7 +46,9 @@ def run_dataset(frames: Iterable, camera, params=None, stereo_model=None,
     if kp_budget <= 0 or kp_budget > max_kp:
         kp_budget = max_kp
 
-    extract_rgbd = jax.jit(lambda g, d: extract_features(g, d, camera, max_kp))
+    # Kp/DetectorStrategy dispatch (classical response maps or the learned
+    # SuperPoint front end, strategy 11) — reference: Feature2D::create
+    fe = FeatureExtractor(camera, p, max_kp=max_kp)
 
     @jax.jit
     def limit_to_kp_budget(feat):
@@ -62,6 +65,17 @@ def run_dataset(frames: Iterable, camera, params=None, stereo_model=None,
                              valid3d=ok, angle=kps.angle, response=kps.response)
 
     extract_stereo = jax.jit(extract_stereo_fn)
+
+    def extract_stereo_learned(gl, gr):
+        # learned detector on the left image; 3D from LK stereo (the
+        # reference equally composes SuperPoint with Stereo/* matching)
+        kps, desc, descf = fe._sp.extract(gl, max_kp, nms_size=fe._sp_nms,
+                                          conf_threshold=fe._sp_threshold)
+        pts, ok = ST.keypoints_3d_from_stereo(kps.uv, kps.valid, gl, gr,
+                                              stereo_model)
+        return FrameFeatures(uv=kps.uv, desc=desc, pts3d=pts, valid=kps.valid,
+                             valid3d=ok, angle=kps.angle,
+                             response=kps.response), descf
 
     est_odom, est_stamps, gt_poses = [], [], []
     n_loops = n_lost = 0
@@ -81,10 +95,15 @@ def run_dataset(frames: Iterable, camera, params=None, stereo_model=None,
                 gray = jnp.asarray(fr.gray)
                 _t_ex = time.perf_counter()
                 stereo_used = False
+                descf = None
                 if fr.depth is not None:
-                    feat = extract_rgbd(gray, jnp.asarray(fr.depth))
+                    feat, descf = fe.extract(gray, jnp.asarray(fr.depth))
                 elif fr.right is not None:
-                    feat = extract_stereo(gray, jnp.asarray(fr.right))
+                    if fe.learned:
+                        feat, descf = extract_stereo_learned(
+                            gray, jnp.asarray(fr.right))
+                    else:
+                        feat = extract_stereo(gray, jnp.asarray(fr.right))
                     stereo_used = True
                 else:
                     raise ValueError("frame has neither depth nor right image")
@@ -159,6 +178,7 @@ def run_dataset(frames: Iterable, camera, params=None, stereo_model=None,
                     stamp=fr.stamp,
                     gt_pose=fr.gt_pose,
                     raw=(fr.gray, fr.depth) if db is not None else None,
+                    descf=descf,
                     extra_stats={"Odometry/TotalTime/ms": odom_ms,
                                  **capture_stats})
             n_loops += int(st.loop_closure_id > 0)

@@ -45,3 +45,6 @@ def test_two_process_distributed_smoke():
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out[-4000:]}"
         assert f"MULTIHOST_OK p{i}" in out, out[-2000:]
+        # the ENGINE itself ran on the global 2-process mesh with the
+        # same decisions as single-device (SURVEY §5.8 end state)
+        assert f"ENGINE_MULTIHOST_OK p{i}" in out, out[-2000:]

@@ -149,66 +149,6 @@ def test_sharded_vo_fleet():
         assert err < 0.05, (b, err)
 
 
-def test_sharded_node_store_roundtrip():
-    """LTM slabs sharded over the mesh: insert, retrieve-gather, remove."""
-    import numpy as np
-    from rtabmap_tpu.parallel.sharded import ShardedNodeStore, make_mesh
-
-    mesh = make_mesh(8)
-    st = ShardedNodeStore(mesh, capacity=64, words_per_node=16, desc_dim=32)
-    rng = np.random.RandomState(0)
-    ref = {}
-    for nid in range(1, 25):
-        w = rng.randint(0, 1000, rng.randint(4, 16)).astype(np.int32)
-        d = np.where(rng.rand(len(w), 32) > 0.5, 1, -1).astype(np.int8)
-        st.insert(nid, w, d)
-        ref[nid] = (w, d)
-    # retrieval gathers exactly what was inserted, across shards
-    ids = [3, 24, 7, 11]
-    slots = [st.slot_of(i) for i in ids]
-    words, desc, found = st.retrieve(np.asarray(slots, np.int32))
-    assert np.asarray(found).all()
-    for r, nid in enumerate(ids):
-        w, d = ref[nid]
-        got_w = np.asarray(words)[r]
-        assert (got_w[:len(w)] == w).all() and (got_w[len(w):] == -1).all()
-        assert (np.asarray(desc)[r, :len(w)] == d).all()
-    # removal invalidates
-    st.remove(7)
-    _, _, found = st.retrieve(np.asarray([st._slot_of.get(7, slots[2]),
-                                          st.slot_of(3)], np.int32))
-    assert not bool(np.asarray(found)[0]) and bool(np.asarray(found)[1])
-
-
-def test_sharded_node_store_likelihood_matches_dense():
-    """Sharded tf-idf over the store == the single-device computation."""
-    import numpy as np
-    from rtabmap_tpu.parallel.sharded import ShardedNodeStore, make_mesh
-    from rtabmap_tpu.vocab.dictionary import tfidf_likelihood
-    import jax.numpy as jnp
-
-    mesh = make_mesh(8)
-    VOCAB = 256
-    st = ShardedNodeStore(mesh, capacity=32, words_per_node=8, desc_dim=32)
-    rng = np.random.RandomState(1)
-    for nid in range(1, 17):
-        w = rng.randint(0, VOCAB, 8).astype(np.int32)
-        st.insert(nid, w, np.zeros((8, 32), np.int8))
-    q = rng.randint(0, VOCAB, 8).astype(np.int32)
-    # word -> #nodes containing it
-    nw = np.zeros(VOCAB, np.int32)
-    for s in range(32):
-        if st.h_valid[s]:
-            for w in set(st.h_words[s][st.h_words[s] >= 0].tolist()):
-                nw[w] += 1
-    lik_sh = np.asarray(st.likelihood(jnp.asarray(q), jnp.asarray(nw),
-                                      n_places=16, vocab_cap=VOCAB))
-    lik_dense = np.asarray(tfidf_likelihood(
-        jnp.asarray(q), jnp.asarray(st.h_words), jnp.asarray(st.h_valid),
-        jnp.asarray(nw), 16, VOCAB))
-    np.testing.assert_allclose(lik_sh, lik_dense, rtol=1e-5, atol=1e-6)
-
-
 def test_multihost_meshes_single_process():
     """multihost helpers degrade gracefully to 1 process / N virtual
     devices; sharded kernels accept the resulting meshes."""
