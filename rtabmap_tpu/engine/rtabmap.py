@@ -330,7 +330,11 @@ class Rtabmap:
         with st.time_stage("Timing/Memory update/ms"):
             prev_id = self.memory.stm[-1] if self.memory.stm else None
             with st.time_stage("TimingMem/Signature creation/ms"):
-                sig = self.memory.create_signature(frame, odom_pose, stamp)
+                # ASYNC create: device dispatch + async D2H copies only;
+                # the blocking fetch happens once, after the appearance
+                # step has also been dispatched (tunnel-RTT overlap)
+                sig = self.memory.create_signature(frame, odom_pose, stamp,
+                                                   deferred=True)
             for k, v in getattr(self.memory, "last_create_timings",
                                 {}).items():
                 st.add(k, v)
@@ -339,9 +343,6 @@ class Rtabmap:
             # PreUpdateThread, Memory.cpp:5106)
             st.add("TimingMem/Pre update/ms", 0.0)
             st.add("TimingMem/Joining dictionary update/ms", 0.0)
-            if sig.valid3d is not None:
-                st.add("Memory/Triangulated points/",
-                       float(np.sum(np.asarray(sig.valid3d))))
             sig.scan = scan
             sig.user_data = user_data
             sig.grid = grid
@@ -435,38 +436,10 @@ class Rtabmap:
                 neighbor_link = Link(prev_id, sig.id, LINK_NEIGHBOR, t_ab,
                                      info_from_cov(link_cov))
             self.memory.add_to_stm(sig, neighbor_link)
-            # rehearsal AFTER STM insert so the odometry link exists and a
-            # full merge can happen (reference: Memory::update order,
-            # Memory.cpp:1018 — addSignatureToStm then rehearsal)
-            with st.time_stage("TimingMem/Rehearsal/ms"):
-                merged_id = self.memory.rehearsal(sig)
-            if merged_id and merged_id != sig.id:
-                # current node merged away — continue the tick on the
-                # surviving node (reference: _lastSignature = oldS)
-                self.optimized_poses.pop(sig.id, None)
-                sig = self.memory.get(merged_id)
-            st.add("Memory/RehearsalMerged", float(merged_id))
 
-        # --- B2. odometry cache update (localization mode; reference:
-        # Rtabmap.cpp:1816-1842 — rolling window of odometry poses +
-        # neighbor constraints used to verify localization links)
-        if not self.memory.incremental and self.max_odom_cache_size > 0:
-            if self._odom_cache_poses:
-                last_id = next(reversed(self._odom_cache_poses))
-                t_oc = np.asarray(T.np_relative(
-                    self._odom_cache_poses[last_id], odom_pose), np.float32)
-                self._odom_cache_links[(last_id, sig.id)] = Link(
-                    last_id, sig.id, LINK_NEIGHBOR, t_oc, info_from_cov(cov))
-            self._odom_cache_poses[sig.id] = odom_pose
-            with st.time_stage("Timing/Cleaning neighbors/ms"):
-                while len(self._odom_cache_poses) > self.max_odom_cache_size:
-                    old = next(iter(self._odom_cache_poses))
-                    del self._odom_cache_poses[old]
-                    self._odom_cache_links = {
-                        k: v for k, v in self._odom_cache_links.items()
-                        if old not in k}
-
-        # --- C. metric gating: small displacement
+        # --- C. metric gating: small displacement (computed BEFORE the
+        # appearance dispatch/rehearsal so the device work can overlap the
+        # deferred-create fetch; the flags depend only on poses/velocity)
         small_displacement = False
         if self._last_pose is not None:
             d = T.np_relative(self._last_pose, odom_pose)
@@ -497,38 +470,87 @@ class Rtabmap:
         st.add("Memory/Odometry variance lin/", float(cov[0, 0]))
         st.add("Memory/Odometry variance ang/", float(cov[5, 5]))
 
-        # --- D. appearance hypothesis (skipped for bad signatures —
+        # --- D0. optimistic appearance DISPATCH: runs on device while the
+        # deferred create's D2H copies are still in flight. Valid before
+        # rehearsal because both rehearsal participants (new node + last
+        # STM node) are STM — already masked out of likelihood and the WM
+        # posterior; with the default Mem/RehearsalIdUpdatedToNewOne=true
+        # the surviving node IS the new node, so its words are the ones
+        # this dispatch used.
+        wm_ids = list(self.memory.wm)
+        app = None
+        if wm_ids and not small_displacement and not too_fast:
+            with st.time_stage("Timing/Posterior computation/ms"):
+                app = self._dispatch_appearance(sig)
+
+        # --- F0. proximity registration DISPATCH: the batched PnP kernel
+        # and its D2H transfer run while the host is blocked on the
+        # create fetch / appearance accept (path ranking uses last tick's
+        # likelihood; candidates are geometric). Retrieved-this-tick
+        # nodes join proximity from the NEXT tick (the reference's E->F
+        # ordering made them immediate; one-tick lag, documented).
+        prox_ctx = None
+        if (self.rgbd_mode and not small_displacement
+                and self.local_radius > 0 and self.memory.n_resident > 1):
+            with st.time_stage("Timing/Proximity dispatch/ms"):
+                prox_ctx = self._proximity_dispatch(sig, st)
+
+        # --- B1b. the deferred create's SINGLE blocking fetch point
+        with st.time_stage("TimingMem/Signature finalize/ms"):
+            self.memory.finalize_signature()
+        if sig.valid3d is not None:
+            st.add("Memory/Triangulated points/",
+                   float(np.sum(np.asarray(sig.valid3d))))
+
+        # rehearsal AFTER add_to_stm so the odometry link exists and a
+        # full merge can happen (reference: Memory::update order,
+        # Memory.cpp:1018 — addSignatureToStm then rehearsal); needs the
+        # finalized host word ids
+        with st.time_stage("TimingMem/Rehearsal/ms"):
+            merged_id = self.memory.rehearsal(sig)
+        if merged_id and merged_id != sig.id:
+            # current node merged away — continue the tick on the
+            # surviving node (reference: _lastSignature = oldS). Only
+            # happens with Mem/RehearsalIdUpdatedToNewOne=false; the
+            # optimistic dispatch used the new node's words, so redo
+            # with the survivor's (rare path, pays one extra RTT)
+            self.optimized_poses.pop(sig.id, None)
+            sig = self.memory.get(merged_id)
+            if app is not None:
+                app = self._dispatch_appearance(sig)
+            prox_ctx = None  # stale B-side: re-run synchronously below
+        st.add("Memory/RehearsalMerged", float(merged_id))
+
+        # --- B2. odometry cache update (localization mode; reference:
+        # Rtabmap.cpp:1816-1842 — rolling window of odometry poses +
+        # neighbor constraints used to verify localization links)
+        if not self.memory.incremental and self.max_odom_cache_size > 0:
+            if self._odom_cache_poses:
+                last_id = next(reversed(self._odom_cache_poses))
+                t_oc = np.asarray(T.np_relative(
+                    self._odom_cache_poses[last_id], odom_pose), np.float32)
+                self._odom_cache_links[(last_id, sig.id)] = Link(
+                    last_id, sig.id, LINK_NEIGHBOR, t_oc, info_from_cov(cov))
+            self._odom_cache_poses[sig.id] = odom_pose
+            with st.time_stage("Timing/Cleaning neighbors/ms"):
+                while len(self._odom_cache_poses) > self.max_odom_cache_size:
+                    old = next(iter(self._odom_cache_poses))
+                    del self._odom_cache_poses[old]
+                    self._odom_cache_links = {
+                        k: v for k, v in self._odom_cache_links.items()
+                        if old not in k}
+
+        # --- D. appearance hypothesis ACCEPT (skipped for bad signatures —
         # reference: "Ignoring likelihood ... doesn't have enough visual
-        # features", Rtabmap.cpp:2238)
+        # features", Rtabmap.cpp:2238; a discarded dispatch leaves the
+        # Bayes posterior untouched, exactly like the legacy skip)
         bad_sig = (self.memory.bad_signatures_ignored and
                    self.memory.is_bad_signature(sig))
         hypothesis_id, hypothesis_value = 0, 0.0
-        wm_ids = list(self.memory.wm)
-        if wm_ids and not small_displacement and not too_fast and not bad_sig:
+        if app is not None and not bad_sig:
             mem = self.memory
-            with st.time_stage("Timing/Posterior computation/ms"):
-                # host-side prep: STM mask + incremental neighbor table
-                stm_slots = [mem.get(i).slot for i in mem.stm
-                             if mem.get(i).slot >= 0]
-                # host mirrors (no device fetch, no O(WM) Python scan)
-                lik_valid = mem.host_valid.copy()
-                if stm_slots:
-                    lik_valid[stm_slots] = False
-                depth = min(self.bayes.kernel.shape[0] - 2, 8)
-                tbl = mem.ensure_neighbor_table(depth, 2 * depth + 1)
-                nbr_idx, nbr_margin = tbl.flush()
-                wm_valid = mem.host_wm
             with st.time_stage("Timing/Likelihood computation/ms"):
-                # ONE dispatch for likelihood+adjust+Bayes+argmax, ONE
-                # fetch for everything the host needs this tick
-                post, adj, best_slot, best_post, vp = _appearance_step(
-                    jnp.asarray(sig.word_ids), mem.node_words,
-                    jnp.asarray(lik_valid), mem.word_nw,
-                    jnp.float32(mem.n_resident), jnp.asarray(nbr_idx),
-                    jnp.asarray(nbr_margin), jnp.asarray(wm_valid),
-                    self.bayes.posterior, self.bayes.kernel,
-                    self.bayes.vp_prior,
-                    use_tfidf=mem.tfidf_likelihood_used)
+                post, adj, best_slot, best_post, vp = app
                 self.bayes.state = BF.BayesState(posterior=post)
                 best_slot, best_post, vp, lik_host = self._fetch(
                     (best_slot, best_post, vp, adj))
@@ -669,10 +691,14 @@ class Rtabmap:
                 st.add("Proximity/Time links added/", n_time)
                 st.add("Proximity/Time detections/", n_time)
 
-        # --- F. proximity detection (local space closures)
+        # --- F. proximity detection (local space closures) — collect the
+        # early dispatch, or run synchronously when it was invalidated
         if self.rgbd_mode and not small_displacement and self.local_radius > 0:
             with st.time_stage("Timing/Proximity by space/ms"):
-                prox_links = self._proximity_detection(sig, st)
+                if prox_ctx is not None:
+                    prox_links = self._proximity_collect(sig, prox_ctx, st)
+                else:
+                    prox_links = self._proximity_detection(sig, st)
                 links_added.extend(prox_links)
                 st.add("Proximity/Space links added/", len(prox_links))
                 n_paths, n_checked = getattr(self, "_last_prox_path_stats",
@@ -984,6 +1010,40 @@ class Rtabmap:
                                                np.stack(gt)).items():
                     st.add(k, v)
 
+    def _dispatch_appearance(self, sig: Signature):
+        """ONE device dispatch for likelihood+adjust+Bayes+argmax; starts
+        async D2H copies of the host-needed outputs and returns the
+        handle tuple (post, adj, best_slot, best_post, vp) WITHOUT
+        blocking. Accepts the in-flight deferred-create word ids."""
+        mem = self.memory
+        # host-side prep: STM mask + incremental neighbor table
+        stm_slots = [mem.get(i).slot for i in mem.stm
+                     if mem.get(i).slot >= 0]
+        # host mirrors (no device fetch, no O(WM) Python scan)
+        lik_valid = mem.host_valid.copy()
+        if stm_slots:
+            lik_valid[stm_slots] = False
+        depth = min(self.bayes.kernel.shape[0] - 2, 8)
+        tbl = mem.ensure_neighbor_table(depth, 2 * depth + 1)
+        nbr_idx, nbr_margin = tbl.flush()
+        wid = (sig.pending_word_ids if sig.pending_word_ids is not None
+               else jnp.asarray(sig.word_ids))
+        out = _appearance_step(
+            wid, mem.node_words,
+            jnp.asarray(lik_valid), mem.word_nw,
+            jnp.float32(mem.n_resident), jnp.asarray(nbr_idx),
+            jnp.asarray(nbr_margin), jnp.asarray(mem.host_wm),
+            self.bayes.posterior, self.bayes.kernel,
+            self.bayes.vp_prior,
+            use_tfidf=mem.tfidf_likelihood_used)
+        if not self._multihost:
+            for a in out[1:]:
+                try:
+                    a.copy_to_host_async()
+                except Exception:
+                    pass
+        return out
+
     def _fetch(self, tree):
         """Multihost-safe jax.device_get: arrays sharded over
         non-addressable devices are allgathered first (no-op pass-through
@@ -1128,6 +1188,18 @@ class Rtabmap:
         likely node of each of the top RGBD/ProximityMaxPaths paths —
         adding one space closure PER PATH (reference: Rtabmap.cpp:2677-3130;
         path clustering :2793-2830, per-path registration :2828-2920)."""
+        ctx = self._proximity_dispatch(sig, st)
+        return self._proximity_collect(sig, ctx, st)
+
+    def _proximity_dispatch(self, sig: Signature,
+                            st: Optional[Statistics] = None):
+        """Candidate search + path clustering + the batched registration
+        DISPATCH (no fetch) — the engine calls this early in the tick so
+        the PnP kernel and its D2H transfer overlap the create-fetch
+        barrier and the appearance accept. Path ranking uses the LAST
+        available likelihood (one tick stale when dispatched before the
+        appearance accept — ranking only; the candidate set itself is
+        purely geometric)."""
         mem = self.memory
         _t_search = time.perf_counter()
         cur_pose = self.optimized_poses.get(sig.id)
@@ -1203,26 +1275,56 @@ class Rtabmap:
                 T.np_relative(self.optimized_poses[i], cur_pose),
                 np.float32))
         checked = len(pair_ids)
+        handles = None
         if pair_ids:
+            # only the default descriptor mode has an async batched
+            # kernel; flow/SuperGlue modes register in collect
+            if mem.cor_type != 1 and mem.cor_nn_type != 6:
+                handles = mem.compute_transform_batch_async(
+                    pair_ids, sig.id, self.cam, self._split_key(),
+                    pair_guesses, min_inliers=self.min_inliers,
+                    guess_window=self.prox_odom_guess)
+        return {"pair_ids": pair_ids, "pair_guesses": pair_guesses,
+                "handles": handles, "paths": paths, "cands": cands,
+                "cur_pose": cur_pose, "checked": checked,
+                "filtering_radius": filtering_radius, "t_vis": _t_vis,
+                "sig_id": sig.id}
+
+    def _proximity_collect(self, sig: Signature, ctx,
+                           st: Optional[Statistics] = None) -> List[Link]:
+        """Blocking half of proximity detection: fetch the batched
+        registrations, add accepted space closures, then the scan-ICP
+        fallback (reference stages Rtabmap.cpp:2828-3130)."""
+        mem = self.memory
+        if ctx is None:
+            return []
+        pair_ids = ctx["pair_ids"]
+        filtering_radius = ctx["filtering_radius"]
+        cands, cur_pose = ctx["cands"], ctx["cur_pose"]
+        out: List[Link] = []
+        results = []
+        if ctx["handles"] is not None:
+            results = mem.collect_transform_batch(ctx["handles"])
+        elif pair_ids:
             results = mem.compute_transform_batch(
-                pair_ids, sig.id, self.cam, self._split_key(), pair_guesses,
-                min_inliers=self.min_inliers,
+                pair_ids, ctx["sig_id"], self.cam, self._split_key(),
+                ctx["pair_guesses"], min_inliers=self.min_inliers,
                 guess_window=self.prox_odom_guess)
-            for i, (t_ab, cov, inl) in zip(pair_ids, results):
-                if t_ab is None:
-                    continue
-                if (filtering_radius > 0 and
-                        float(np.linalg.norm(t_ab[:3, 3])) > filtering_radius):
-                    continue  # resulting transform too large
-                lk = Link(i, sig.id, LINK_LOCAL_SPACE_CLOSURE, t_ab,
-                          info_from_cov(cov))
-                mem.add_link(lk)
-                out.append(lk)
-                self.last_proximity_id = i
-        self._last_prox_path_stats = (len(paths), checked)
+        for i, (t_ab, cov, inl) in zip(pair_ids, results):
+            if t_ab is None:
+                continue
+            if (filtering_radius > 0 and
+                    float(np.linalg.norm(t_ab[:3, 3])) > filtering_radius):
+                continue  # resulting transform too large
+            lk = Link(i, ctx["sig_id"], LINK_LOCAL_SPACE_CLOSURE, t_ab,
+                      info_from_cov(cov))
+            mem.add_link(lk)
+            out.append(lk)
+            self.last_proximity_id = i
+        self._last_prox_path_stats = (len(ctx["paths"]), ctx["checked"])
         if st is not None:
             st.add("Timing/Proximity by space visual/ms",
-                   (time.perf_counter() - _t_vis) * 1000.0)
+                   (time.perf_counter() - ctx["t_vis"]) * 1000.0)
 
         # scan-matching proximity vs the ASSEMBLED local scan map of the
         # nearby path (reference: Memory::computeIcpTransformMulti,

@@ -80,6 +80,8 @@ class Signature:
     pts3d: Optional[np.ndarray] = None      # (K,3) camera frame
     valid3d: Optional[np.ndarray] = None    # (K,)
     slot: int = -1               # WM device slot (-1 = not resident)
+    pending_word_ids: Optional[object] = None  # device word ids while a
+                                 # deferred create is in flight
     in_ltm: bool = False
     label: str = ""
     scan: Optional[object] = None           # LaserScan (not persisted to WM slabs)
@@ -347,6 +349,9 @@ class Memory:
         self.db = db
 
         # host records
+        self._pending_create = None  # in-flight deferred create handles
+        self._current_frame_dev = None  # latest frame's device arrays
+        self._current_frame_id = -1     # (for B-side registration reuse)
         self.signatures: Dict[int, Signature] = {}
         self.stm: List[int] = IdList()
         self.wm: List[int] = IdList()  # insertion-ordered (oldest first)
@@ -452,42 +457,79 @@ class Memory:
 
     # -------------------------------------------------------------- creation
     def create_signature(self, frame: FrameFeatures, pose, stamp: float = 0.0,
-                         weight: int = 0) -> Signature:
+                         weight: int = 0,
+                         deferred: bool = False) -> Signature:
         """Quantize features into words + allocate a WM slot.
 
         (reference: Memory::createSignature Memory.cpp:5025.)
+
+        ``deferred=True`` (the engine's async tick) dispatches
+        quantization/insertion entirely on device and starts async
+        device->host copies but does NOT block: the Signature's host
+        feature arrays (word_ids/desc/uv/pts3d/valid3d) stay None and
+        ``pending_word_ids`` holds the device word ids (for downstream
+        dispatches) until :meth:`finalize_signature` completes the ONE
+        blocking fetch. Through the ~26 ms-RTT TPU tunnel this removes
+        two sequential round trips from every tick.
         """
         import jax
 
         _t_q = _time.perf_counter()
-        word_ids, _ = self.vocab.quantize(frame.desc, frame.valid)
-        # quantization = the reference's VWDictionary::addNewWords stage
+        wid_dev, _new_dev, n_new_dev = self.vocab.quantize_async(
+            frame.desc, frame.valid)
         self.last_create_timings = {
             "TimingMem/Add new words/ms":
                 (_time.perf_counter() - _t_q) * 1000.0}
         sid = self._next_id
         self._next_id += 1
-        # ONE host transfer for the frame arrays (separate np.asarray
-        # calls each pay a device round trip through the TPU tunnel)
-        desc_h, uv_h, pts_h, ok3d_h = jax.device_get(
-            (frame.desc, frame.uv, frame.pts3d,
-             frame.valid3d & frame.valid))
+        ok3d_dev = frame.valid3d & frame.valid
         sig = Signature(
             id=sid, map_id=self._map_id, stamp=stamp,
             pose=np.asarray(pose, np.float32), weight=weight,
-            word_ids=word_ids,
-            desc=desc_h.astype(np.int8),
-            uv=uv_h.astype(np.float32),
-            pts3d=pts_h.astype(np.float32),
-            valid3d=ok3d_h,
+            word_ids=None, desc=None, uv=None, pts3d=None, valid3d=None,
         )
+        sig.pending_word_ids = wid_dev
+        self._current_frame_dev = (frame.desc, frame.uv, frame.pts3d,
+                                   ok3d_dev)
+        self._current_frame_id = sid
         self.signatures[sid] = sig
-        # reuse the frame's device-resident uv/pts3d for the slab write —
-        # re-uploading the host copies would add two transfers
-        self._insert_slab(sig, uv_dev=frame.uv, pts_dev=frame.pts3d)
+        # reuse the frame's device-resident arrays for the slab write —
+        # re-uploading host copies would add transfers
+        self._insert_slab(sig, uv_dev=frame.uv, pts_dev=frame.pts3d,
+                          words_dev=wid_dev)
+        handles = (wid_dev, n_new_dev, frame.desc, frame.uv, frame.pts3d,
+                   ok3d_dev)
+        for a in handles:
+            try:
+                a.copy_to_host_async()
+            except Exception:
+                pass
+        self._pending_create = (sig, handles)
+        if not deferred:
+            self.finalize_signature()
         return sig
 
-    def _insert_slab(self, sig: Signature, uv_dev=None, pts_dev=None):
+    def finalize_signature(self) -> None:
+        """Complete the deferred create: ONE blocking fetch fills the host
+        Signature arrays and catches the vocabulary counter up."""
+        if self._pending_create is None:
+            return
+        import jax
+
+        (sig, (wid_dev, n_new_dev, desc_dev, uv_dev, pts_dev, ok3d_dev)), \
+            self._pending_create = self._pending_create, None
+        wid, n_new, desc_h, uv_h, pts_h, ok3d_h = jax.device_get(
+            (wid_dev, n_new_dev, desc_dev, uv_dev, pts_dev, ok3d_dev))
+        self.vocab.commit_new_words(int(n_new))
+        sig.word_ids = wid.astype(np.int32)
+        sig.desc = desc_h.astype(np.int8)
+        sig.uv = uv_h.astype(np.float32)
+        sig.pts3d = pts_h.astype(np.float32)
+        sig.valid3d = ok3d_h
+        sig.pending_word_ids = None
+
+    def _insert_slab(self, sig: Signature, uv_dev=None, pts_dev=None,
+                     words_dev=None):
         if not self._free_slots:
             raise RuntimeError("WM slab capacity exhausted — transfer first")
         slot = self._free_slots.pop()
@@ -496,7 +538,8 @@ class Memory:
         (self.node_words, self.node_uv, self.node_pts, self.node_valid,
          self.word_nw) = _slab_set(
             self.node_words, self.node_uv, self.node_pts, self.node_valid,
-            self.word_nw, slot, jnp.asarray(sig.word_ids),
+            self.word_nw, slot,
+            jnp.asarray(sig.word_ids) if words_dev is None else words_dev,
             jnp.asarray(sig.uv) if uv_dev is None else uv_dev,
             jnp.asarray(sig.pts3d) if pts_dev is None else pts_dev, True,
         )
@@ -925,29 +968,67 @@ class Memory:
                     reproj_px=reproj_px, iters=iters,
                     guess_window=guess_window))
             return out
+        handles = self.compute_transform_batch_async(
+            from_ids, to_id, cam, key, guesses, min_inliers=min_inliers,
+            reproj_px=reproj_px, iters=iters, guess_window=guess_window)
+        return self.collect_transform_batch(handles)
+
+    def compute_transform_batch_async(self, from_ids, to_id: int,
+                                      cam: C.CameraModel, key, guesses,
+                                      min_inliers: int = 20,
+                                      reproj_px: float = 4.0,
+                                      iters: int = 256,
+                                      guess_window: Optional[bool] = None):
+        """Dispatch-only half of compute_transform_batch: returns opaque
+        handles for :meth:`collect_transform_batch`, letting the engine
+        overlap the registration kernel + its D2H transfer with the other
+        tick stages (tunnel RTT hiding). When the target signature's host
+        arrays are still in flight (deferred create), the device frame
+        handles are used directly — no host staging."""
         b = self.signatures[to_id]
         A = [self.signatures[i] for i in from_ids]
         cam_tuple = (cam.fx, cam.fy, cam.cx, cam.cy, cam.width, cam.height,
                      cam.dist, cam.local_transform)
         use_window = bool(guess_window) and self.guess_win_size > 0
         keys = jax.random.split(key, len(A))
+        if b.desc is None and self._current_frame_dev is not None \
+                and self._current_frame_id == to_id:
+            b_desc, b_uv, b_pts, b_ok3 = self._current_frame_dev
+        else:
+            b_desc, b_uv, b_pts, b_ok3 = (jnp.asarray(b.desc),
+                                          jnp.asarray(b.uv),
+                                          jnp.asarray(b.pts3d),
+                                          jnp.asarray(b.valid3d))
         res, mm, extras = _registration_kernel_batch(
             jnp.asarray(np.stack([a.desc for a in A])),
             jnp.asarray(np.stack([a.valid3d for a in A])),
             jnp.asarray(np.stack([a.pts3d for a in A])),
             jnp.asarray(np.stack([a.uv for a in A])),
-            jnp.asarray(b.desc), jnp.asarray(b.valid3d), jnp.asarray(b.uv),
-            jnp.asarray(b.pts3d),
+            b_desc, b_ok3, b_uv, b_pts,
             jnp.asarray(np.stack([np.asarray(g, np.float32)
                                   for g in guesses])),
             cam_tuple, keys, iters, jnp.float32(reproj_px), min_inliers,
             jnp.float32(self.cor_nndr), jnp.float32(self.guess_win_size),
             use_window=use_window, use_gms=self.cor_nn_type == 7,
         )
+        out = (res.success, res.transform, res.covariance, res.num_inliers,
+               jnp.sum(mm.valid, axis=-1)) + extras
+        for a in out:
+            try:
+                a.copy_to_host_async()
+            except Exception:
+                pass
+        return (out, len(A))
+
+    def collect_transform_batch(self, handles):
+        """Blocking half: fetch + per-pair results list (see
+        compute_transform_batch)."""
+        import jax
+
+        out_dev, n_pairs = handles
+        A = range(n_pairs)
         success, transform, cov, n_inl, n_match, mean_d, distrib = \
-            jax.device_get(
-                (res.success, res.transform, res.covariance,
-                 res.num_inliers, jnp.sum(mm.valid, axis=-1)) + extras)
+            jax.device_get(out_dev)
         out = []
         for p in range(len(A)):
             if bool(success[p]):

@@ -65,6 +65,30 @@ def _slab_insert(slab, word_valid, slots, descs, mask):
     return slab, word_valid
 
 
+@partial(jax.jit, static_argnames=("incremental",))
+def _insert_after_quantize(nn_idx, is_new, desc, valid, slab, word_valid,
+                           n_words, free, incremental: bool = True):
+    """DEVICE-side new-word slot assignment + insertion — the host cumsum/
+    clamp of the legacy quantize() moved on-device so the whole
+    quantization stage needs NO host round trip (the tunnel RTT was ~26 ms
+    of every engine tick). ``n_words``/``free`` ride in as traced scalars;
+    the host counter catches up from the returned n_new."""
+    if not incremental:
+        word_ids = jnp.where(valid & ~is_new, nn_idx, -1).astype(jnp.int32)
+        return (word_ids, jnp.zeros_like(is_new),
+                jnp.zeros((), jnp.int32), slab, word_valid)
+    order = jnp.cumsum(is_new.astype(jnp.int32))
+    keep = is_new & (order <= free)
+    slots = (n_words + jnp.cumsum(keep.astype(jnp.int32)) - 1).astype(jnp.int32)
+    W = slab.shape[0]
+    safe = jnp.where(keep, slots, W)
+    slab = slab.at[safe].set(desc, mode="drop")
+    word_valid = word_valid.at[safe].set(True, mode="drop")
+    word_ids = jnp.where(valid, jnp.where(keep, slots, nn_idx),
+                         -1).astype(jnp.int32)
+    return word_ids, keep, jnp.sum(keep, dtype=jnp.int32), slab, word_valid
+
+
 class VWDictionary:
     """Host-managed vocabulary over a device descriptor slab."""
 
@@ -104,6 +128,17 @@ class VWDictionary:
         """Assign word ids to descriptors; create new words in incremental
         mode. Returns (word_ids (K,) int32 with -1 for invalid slots,
         is_new (K,) bool)."""
+        wid_dev, new_dev, n_new_dev = self.quantize_async(desc, valid)
+        wid, new, n_new = jax.device_get((wid_dev, new_dev, n_new_dev))
+        self.commit_new_words(int(n_new))
+        return wid, new
+
+    def quantize_async(self, desc, valid):
+        """DEVICE-only quantization + new-word insertion — zero host
+        fetches (the engine's async tick overlaps the transfer with the
+        rest of the tick). Returns (word_ids_dev, is_new_dev, n_new_dev);
+        the caller must pass the fetched n_new to ``commit_new_words``
+        BEFORE the next quantize call."""
         from rtabmap_tpu.ops.pallas.vocab_knn import use_pallas_ok
 
         if self.mesh is not None:
@@ -115,30 +150,16 @@ class VWDictionary:
                 block=self.block,
                 use_pallas=use_pallas_ok(desc.shape[0], self.capacity),
             )
-        # ONE host transfer for all three arrays — separate np.asarray
-        # calls each pay a device round trip (tunnel RTT dominates)
-        nn_idx, is_new, valid_np = jax.device_get((nn_idx, is_new, valid))
-        if not self.incremental:
-            word_ids = np.where(valid_np & ~is_new, nn_idx, -1).astype(np.int32)
-            return word_ids, np.zeros_like(is_new)
-        n_new = int(is_new.sum())
-        if n_new:
-            free = self.capacity - self.n_words
-            if n_new > free:
-                # capacity exhausted: assign nearest instead of creating
-                order = np.cumsum(is_new)
-                is_new = is_new & (order <= free)
-                n_new = int(is_new.sum())
-            slots = (self.n_words + np.cumsum(is_new) - 1).astype(np.int32)
-            self.slab, self.word_valid = _slab_insert(
-                self.slab, self.word_valid, jnp.asarray(slots), desc, jnp.asarray(is_new)
-            )
-            self.n_words += n_new
-            word_ids = np.where(is_new, slots, nn_idx)
-        else:
-            word_ids = nn_idx
-        word_ids = np.where(valid_np, word_ids, -1).astype(np.int32)
-        return word_ids, is_new
+        free = self.capacity - self.n_words
+        word_ids, keep, n_new, self.slab, self.word_valid = \
+            _insert_after_quantize(
+                nn_idx, is_new, desc, valid, self.slab, self.word_valid,
+                jnp.int32(self.n_words), jnp.int32(free),
+                incremental=self.incremental)
+        return word_ids, keep, n_new
+
+    def commit_new_words(self, n_new: int):
+        self.n_words += int(n_new)
 
     def _quantize_sharded(self, desc, valid):
         """Sharded-slab global 2-NN (per-shard MXU top-2 + one gather,

@@ -137,3 +137,42 @@ def test_engine_runs_learned_detector_and_matcher():
     assert np.isfinite(est).all()
     ate = metrics.ate_rmse(est, np.asarray(poses)[: len(est)])
     assert ate < 0.2, ate
+
+
+@needs_samples
+@pytest.mark.slow
+def test_superpoint_repeatability_sweep_real_sequence():
+    """VERDICT r4 next #10: grade the distilled SuperPoint on REAL pixels
+    across the sample traversal, not its training distribution — median
+    matchability over consecutive-frame pairs (homography-free sanity:
+    consecutive frames overlap heavily; a repeatable detector + sane
+    descriptors must keep matching them along the whole sequence)."""
+    from rtabmap_tpu.core.frame import FeatureExtractor
+    from rtabmap_tpu.geometry import camera as C
+    from rtabmap_tpu.ops import matching as M
+    from rtabmap_tpu.utils.params import Parameters
+
+    cam = C.CameraModel.make(300.0, 300.0, 256.0, 192.0, 512, 384)
+    fe = FeatureExtractor(
+        cam, Parameters().set("Kp/DetectorStrategy", 11), max_kp=400)
+    pairs = [(i, i + 1) for i in range(1, 40, 4)]
+    counts, kp_counts = [], []
+    feats = {}
+
+    def get(i):
+        if i not in feats:
+            feats[i] = fe.extract(_load_gray(i))[0]
+        return feats[i]
+
+    for a, b in pairs:
+        fa, fb = get(a), get(b)
+        kp_counts.append(int(fa.valid.sum()))
+        m = M.match_mutual_nndr(fa.desc, fa.valid, fb.desc, fb.valid)
+        counts.append(int(m.valid.sum()))
+    med = sorted(counts)[len(counts) // 2]
+    # measured r5: median ~60 mutual matches/pair at 400 kp
+    assert med >= 25, (med, counts)
+    # the detector keeps firing across the whole traversal (no dead
+    # frames: lighting/viewpoint changes along the loop)
+    assert min(kp_counts) >= 200, kp_counts
+    assert min(counts) >= 10, counts
