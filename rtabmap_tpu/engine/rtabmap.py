@@ -1248,7 +1248,6 @@ class Rtabmap:
             st.add("Timing/Proximity by space search/ms",
                    (time.perf_counter() - _t_search) * 1000.0)
         _t_vis = time.perf_counter()
-        out: List[Link] = []
         # select one registration target per path (host-side), then run
         # ALL of them as ONE batched device dispatch + fetch — the
         # reference registers serially per path (Rtabmap.cpp:2828-2920);

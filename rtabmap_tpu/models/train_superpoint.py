@@ -321,11 +321,120 @@ def train(steps: int = 2000, batch: int = 16, inner: int = 20,
     return sp
 
 
+# -------------------------------------------------------------- real stage
+# Round-5 descriptor fine-tune on REAL pixels: the 84 reference sample
+# images (384x512 -> the trainer's 120x160 canvas is an exact /3.2 resize)
+# with homography-warp supervision on the descriptor head, mixed with the
+# synthetic detector+descriptor objective so corner detection stays
+# grounded. Motivation: the synthetic-only descriptors matched real frames
+# but were weakly view-discriminative (NNDR 66 consecutive vs 49 far on
+# the samples), capping the learned BoW operating point.
+
+SAMPLES_DIR = "/root/reference/data/samples"
+
+
+def load_real_bank(image_dir: str = SAMPLES_DIR, n_images: int = 0):
+    """(N, H, W) float32 bank of real grayscale images at canvas size."""
+    import glob
+
+    from PIL import Image
+
+    from rtabmap_tpu.ops import image as im
+
+    files = sorted(glob.glob(os.path.join(image_dir, "*.jpg")),
+                   key=lambda f: (len(os.path.basename(f)), f))
+    if n_images:
+        files = files[:n_images]
+    bank = []
+    for f in files:
+        g = im.rgb_to_gray(jnp.asarray(np.asarray(Image.open(f))))
+        bank.append(jax.image.resize(g, (H, W), method="linear"))
+    return jnp.stack(bank)
+
+
+def real_desc_loss(params, key, bank, batch: int):
+    """Descriptor hinge loss on real-image homography pairs."""
+    net = SuperPointNet()
+
+    def one(k):
+        k1, k2 = jax.random.split(k)
+        img1 = bank[jax.random.randint(k1, (), 0, bank.shape[0])]
+        Hm = _rand_homography(k2)
+        img2, _ = _warp_image(img1, Hm)
+        _logits, dmap = net.apply({"params": params},
+                                  jnp.stack([img1, img2])[..., None])
+        d1, d2 = _norm_desc(dmap[0]), _norm_desc(dmap[1])
+        return _descriptor_loss(d1, d2, Hm)
+
+    return jnp.mean(jax.vmap(one)(jax.random.split(key, batch)))
+
+
+@partial(jax.jit, static_argnames=("batch", "inner"))
+def finetune_chunk(params, opt_state, key, bank, batch: int = 8,
+                   inner: int = 10):
+    import optax
+
+    tx = _make_tx()
+
+    def step(carry, k):
+        params, opt_state = carry
+        k1, k2 = jax.random.split(k)
+
+        def total(p):
+            syn, _aux = loss_fn(p, k1, batch, 0.001)
+            return syn + 0.02 * real_desc_loss(p, k2, bank, batch)
+
+        loss, grads = jax.value_and_grad(total)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), loss
+
+    (params, opt_state), hist = jax.lax.scan(
+        step, (params, opt_state), jax.random.split(key, inner))
+    return params, opt_state, hist
+
+
+def finetune_real(steps: int = 400, batch: int = 8, inner: int = 10,
+                  seed: int = 3, out: str = WEIGHTS_PATH,
+                  verbose: bool = True):
+    """Fine-tune the SHIPPED distilled weights on real-image pairs."""
+    from rtabmap_tpu.models.superpoint import SuperPoint
+
+    sp = SuperPoint.distilled()
+    bank = load_real_bank()
+    tx = _make_tx()
+    opt_state = tx.init(sp.params)
+    params = sp.params
+    key = jax.random.PRNGKey(seed)
+    done = 0
+    t0 = time.time()
+    while done < steps:
+        key, sub = jax.random.split(key)
+        params, opt_state, hist = finetune_chunk(params, opt_state, sub,
+                                                 bank, batch=batch,
+                                                 inner=inner)
+        done += inner
+        if verbose and done % (inner * 5) == 0:
+            print(f"finetune step {done}: loss={float(hist[-1]):.3f} "
+                  f"({time.time() - t0:.0f}s)", flush=True)
+    sp.params = params
+    if out:
+        flat = jax.tree_util.tree_flatten_with_path(params)[0]
+        np.savez_compressed(out, **{
+            "/".join(p.key for p in kp): np.asarray(leaf, np.float16)
+            for kp, leaf in flat})
+    return sp
+
+
 if __name__ == "__main__":
     import sys
 
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
-    dest = sys.argv[2] if len(sys.argv) > 2 else WEIGHTS_PATH
-    sp = train(steps=n, out=dest)
+    args = [a for a in sys.argv[1:] if a != "--finetune-real"]
+    n = int(args[0]) if args else 2000
+    dest = args[1] if len(args) > 1 else WEIGHTS_PATH
+    if "--finetune-real" in sys.argv[1:]:
+        sp = finetune_real(steps=n, out=dest)
+    else:
+        sp = train(steps=n, out=dest)
     rec, ms = evaluate(sp.params, jax.random.PRNGKey(99))
     print(f"eval: corner recall={rec:.3f}, desc match={ms:.3f}")

@@ -9,9 +9,10 @@ by EXACT blocked matmul 2-NN over a fixed-capacity ±1 descriptor slab —
 top-k on the MXU beats an incremental kd-tree on TPU and removes FLANN's
 approximation error; slab growth is a masked scatter, no rebuilds.
 
-The quantization (device) / allocation (host) split: the heavy 2-NN search
-and the slab scatter are jitted; only the new-slot numbering (a cumsum) is
-host-side.
+Since round 5 the ENTIRE quantization — 2-NN search, NNDR new-word rule,
+slot numbering (cumsum + capacity clamp) and the slab scatter — runs on
+device (``_insert_after_quantize``); ``quantize_async`` makes zero host
+fetches and the host word counter catches up from the deferred n_new.
 """
 from __future__ import annotations
 
@@ -53,16 +54,6 @@ def _quantize_kernel(desc, valid, slab, word_valid, nndr: jnp.ndarray, block: in
     )
     is_new = jnp.where(has_any, is_new, True) & valid
     return i[:, 0], is_new
-
-
-@jax.jit
-def _slab_insert(slab, word_valid, slots, descs, mask):
-    """Masked scatter of new word descriptors (invalid rows -> slot W=dropped)."""
-    W = slab.shape[0]
-    safe = jnp.where(mask, slots, W)
-    slab = slab.at[safe].set(descs, mode="drop")
-    word_valid = word_valid.at[safe].set(True, mode="drop")
-    return slab, word_valid
 
 
 @partial(jax.jit, static_argnames=("incremental",))
