@@ -369,9 +369,9 @@ def real_desc_loss(params, key, bank, batch: int):
     return jnp.mean(jax.vmap(one)(jax.random.split(key, batch)))
 
 
-@partial(jax.jit, static_argnames=("batch", "inner"))
+@partial(jax.jit, static_argnames=("batch", "inner", "real_weight"))
 def finetune_chunk(params, opt_state, key, bank, batch: int = 8,
-                   inner: int = 10):
+                   inner: int = 10, real_weight: float = 0.2):
     import optax
 
     tx = _make_tx()
@@ -382,7 +382,7 @@ def finetune_chunk(params, opt_state, key, bank, batch: int = 8,
 
         def total(p):
             syn, _aux = loss_fn(p, k1, batch, 0.001)
-            return syn + 0.02 * real_desc_loss(p, k2, bank, batch)
+            return syn + real_weight * real_desc_loss(p, k2, bank, batch)
 
         loss, grads = jax.value_and_grad(total)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
@@ -396,7 +396,7 @@ def finetune_chunk(params, opt_state, key, bank, batch: int = 8,
 
 def finetune_real(steps: int = 400, batch: int = 8, inner: int = 10,
                   seed: int = 3, out: str = WEIGHTS_PATH,
-                  verbose: bool = True):
+                  real_weight: float = 0.2, verbose: bool = True):
     """Fine-tune the SHIPPED distilled weights on real-image pairs."""
     from rtabmap_tpu.models.superpoint import SuperPoint
 
@@ -412,7 +412,8 @@ def finetune_real(steps: int = 400, batch: int = 8, inner: int = 10,
         key, sub = jax.random.split(key)
         params, opt_state, hist = finetune_chunk(params, opt_state, sub,
                                                  bank, batch=batch,
-                                                 inner=inner)
+                                                 inner=inner,
+                                                 real_weight=real_weight)
         done += inner
         if verbose and done % (inner * 5) == 0:
             print(f"finetune step {done}: loss={float(hist[-1]):.3f} "
